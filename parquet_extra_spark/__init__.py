@@ -1,0 +1,23 @@
+"""parquet_extra_spark — a PySpark-native per-column lightweight-compression
+engine with the query/data-processing capabilities of nevillelyh/parquet-extra,
+re-expressed Spark-first (see SURVEY.md).
+
+Core API:
+    encode(df, partition_cols=..., sort_cols=...)   -> chunk-table DataFrame
+    decode(chunks, columns=...)                     -> data DataFrame
+    verify_roundtrip(src, decoded, key_cols)        -> correctness report
+    infer_stats(df)                                 -> per-column stats (O21)
+"""
+
+from .engine.encoder import encode
+from .engine.decoder import decode, discover_schema, ChunkDecodeError
+from .engine.verify import verify_roundtrip, roundtrip_ok
+
+__all__ = [
+    "encode",
+    "decode",
+    "discover_schema",
+    "ChunkDecodeError",
+    "verify_roundtrip",
+    "roundtrip_ok",
+]

@@ -1,0 +1,76 @@
+"""The chunk table — the engine's central data structure.
+
+One row per (partition-key, salt, chunk, column): the Spark-native
+analogue of a Parquet column chunk plus its footer metadata (reference:
+parquet-tensorflow Schema.java fields + parquet-mr chunk stats; the
+self-describing dtype column plays the role of footer schema discovery,
+ExampleParquetReader.java:65-71). SURVEY.md §2.3.
+
+Stats columns (min_val/max_val/distinct_est/n_runs) drive chunk-level
+predicate pushdown (engine/pushdown.py) — the analogue of parquet-extra's
+Predicate trees evaluated against row-group statistics
+(Predicate.scala:47-183).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+CHUNK_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("part_key", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("col_idx", T.IntegerType(), False),
+        T.StructField("dtype", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("null_count", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("encoded_bytes", T.LongType(), False),
+        T.StructField("min_val", T.StringType(), True),
+        T.StructField("max_val", T.StringType(), True),
+        T.StructField("distinct_est", T.LongType(), False),
+        T.StructField("n_runs", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+CHUNK_ARROW_SCHEMA = pa.schema(
+    [
+        ("part_key", pa.string()),
+        ("salt", pa.int32()),
+        ("chunk_id", pa.int64()),
+        ("seq", pa.int64()),
+        ("column", pa.string()),
+        ("col_idx", pa.int32()),
+        ("dtype", pa.string()),
+        ("codec", pa.string()),
+        ("payload", pa.binary()),
+        ("n_values", pa.int64()),
+        ("null_count", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("encoded_bytes", pa.int64()),
+        ("min_val", pa.string()),
+        ("max_val", pa.string()),
+        ("distinct_est", pa.int64()),
+        ("n_runs", pa.int64()),
+        ("sha256", pa.string()),
+    ]
+)
+
+PART_SEP = "\x1f"  # joins partition-column values into part_key
+NULL_TOKEN = "\x00"  # stands in for NULL partition values
+
+
+def chunk_uid(part_key: str, salt: int, seq: int) -> int:
+    """Deterministic 63-bit chunk id — collision-free in practice and
+    reproducible across runs (required for checkpoint resume)."""
+    h = hashlib.sha1(f"{part_key}|{salt}|{seq}".encode()).digest()
+    return int.from_bytes(h[:8], "little") >> 1

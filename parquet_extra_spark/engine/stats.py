@@ -1,0 +1,213 @@
+"""Per-chunk column statistics + statistics-driven codec auto-selection.
+
+This is the engine's analogue of the reference's schema-inference scan
+(parquet-tensorflow ExampleScanner.java:23-89): one vectorized pass over
+the chunk's values derives cardinality / run structure / size facts, and
+a decision table turns those into a codec choice — mirroring how the
+scanner turns min/max occurrence counts into required/optional/repeated
+(ExampleScanner.java:77-87), but aimed at compression instead of
+repetition.
+
+Selection compares *estimated bytes-per-value* across applicable codecs
+(dict vs rle vs for for ints; dict vs rle vs fsst-vs-raw trial for
+strings). For strings with high cardinality the choice between FSST and
+raw+zstd is made by actually trying both on a sample — statistics-driven,
+never hard-coded per column name.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs import fsst, packing, typemap
+
+_STR_TRUNC = 64
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    null_count: int
+    distinct: int
+    n_runs: int
+    raw_bytes: int
+    min_val: str | None
+    max_val: str | None
+    dict_bytes: int = 0
+
+
+def _minmax_strings(arr: pa.Array, dtype: str) -> tuple[str | None, str | None]:
+    """Chunk min/max as strings, *sound for pushdown*: string minima may be
+    truncated to a 64-char prefix (still a lower bound); a max that would
+    need truncation is stored as NULL = unbounded (never unsound skips)."""
+    if len(arr) == arr.null_count:
+        return None, None
+    if dtype == "boolean":
+        arr = arr.cast(pa.int8())
+    try:
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    except pa.ArrowNotImplementedError:
+        return None, None
+    if isinstance(mn, bytes):
+        try:
+            mn, mx = mn.decode(), mx.decode()
+        except UnicodeDecodeError:
+            return None, None
+    mn_s, mx_s = str(mn), str(mx)
+    if dtype in typemap.STRLIKE_DTYPES:
+        if len(mn_s) > _STR_TRUNC:
+            mn_s = mn_s[:_STR_TRUNC]
+        if len(mx_s) > _STR_TRUNC:
+            return mn_s, None  # unbounded max — conservative
+    return mn_s, mx_s
+
+
+def raw_size(arr: pa.Array, dtype: str) -> int:
+    """Logical raw size in bytes (uncompressed value payload)."""
+    n = len(arr)
+    if dtype in typemap.STRLIKE_DTYPES:
+        lengths, data, _ = typemap.str_buffers(arr)
+        return len(data)
+    if dtype in typemap.FLOAT_DTYPES:
+        return n * (8 if dtype == "double" else 4)
+    if dtype == "boolean":
+        return n
+    if dtype.startswith("array<"):
+        flat = arr.cast(typemap.SPARK_TO_ARROW[dtype]).flatten()
+        w = 8 if dtype in ("array<bigint>", "array<double>") else 4
+        return len(flat) * w + n * 4
+    return n * 8
+
+
+def canonical_sha256(arr: pa.Array, dtype: str) -> str:
+    """Content hash of a column chunk for integrity checks (the per-chunk
+    analogue of the round-trip oracle, ParquetExampleTest.scala:51-55)."""
+    h = hashlib.sha256()
+    mask = arr.is_null().to_numpy(zero_copy_only=False)
+    h.update(np.packbits(mask.astype(np.uint8), bitorder="little").tobytes())
+    if dtype in typemap.STRLIKE_DTYPES:
+        lengths, data, _ = typemap.str_buffers(arr)
+        h.update(lengths.astype("<u8").tobytes())
+        h.update(data)
+    elif dtype.startswith("array<"):
+        a = arr.cast(typemap.SPARK_TO_ARROW[dtype])
+        offsets = np.frombuffer(a.buffers()[1], dtype=np.int32)[a.offset : a.offset + len(a) + 1]
+        h.update(np.diff(offsets).astype("<i8").tobytes())
+        np_t = {"array<bigint>": "<i8", "array<float>": "<f4", "array<double>": "<f8"}[dtype]
+        h.update(a.flatten().to_numpy(zero_copy_only=False).astype(np_t).tobytes())
+    elif dtype in typemap.FLOAT_DTYPES:
+        np_t = "<f8" if dtype == "double" else "<f4"
+        h.update(arr.fill_null(0.0).to_numpy(zero_copy_only=False).astype(np_t).tobytes())
+    elif dtype == "boolean":
+        vals = arr.fill_null(False).to_numpy(zero_copy_only=False).astype(np.uint8)
+        h.update(np.packbits(vals, bitorder="little").tobytes())
+    else:
+        vals, _ = typemap.to_int64_values(arr, dtype)
+        h.update(vals.astype("<i8").tobytes())
+    return h.hexdigest()
+
+
+def _dict_facts(arr: pa.Array, dtype: str) -> tuple[int, int, int]:
+    """-> (dict_n, n_runs, dict_bytes) via one dictionary_encode pass."""
+    from ..codecs.dictionary import dict_encode_codes
+
+    codes, mask, dict_arr = dict_encode_codes(arr, dtype)
+    if len(codes) == 0:
+        return 0, 0, 0
+    work = codes.copy()
+    work[mask] = np.uint64(len(dict_arr))
+    n_runs = len(packing.run_starts(work))
+    if dtype in typemap.STRLIKE_DTYPES:
+        lengths, data, _ = typemap.str_buffers(dict_arr)
+        dict_bytes = len(data) + len(dict_arr) * 2
+    else:
+        dict_bytes = len(dict_arr) * 8
+    return len(dict_arr), n_runs, dict_bytes
+
+
+def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
+    n = len(arr)
+    if dtype.startswith("array<"):
+        dict_n, n_runs, dict_bytes = 0, n, 0
+        mn, mx = None, None
+    else:
+        dict_n, n_runs, dict_bytes = _dict_facts(arr, dtype)
+        mn, mx = _minmax_strings(arr, dtype)
+    return ColumnStats(
+        n=n,
+        null_count=arr.null_count,
+        distinct=dict_n,
+        n_runs=n_runs,
+        raw_bytes=raw_size(arr, dtype),
+        min_val=mn,
+        max_val=mx,
+        dict_bytes=dict_bytes,
+    )
+
+
+def select_codec(arr: pa.Array, dtype: str, stats: ColumnStats) -> str:
+    """Decision table over chunk stats; ties broken by estimated bytes/value."""
+    n = max(stats.n, 1)
+    if dtype.startswith("array<"):
+        return "list"
+    dict_n = max(stats.distinct, 1)
+    n_runs = max(stats.n_runs, 1)
+    avg_run = n / n_runs
+    dict_bytes = stats.dict_bytes
+
+    if dtype in typemap.INTLIKE_DTYPES:
+        vals, mask = typemap.to_int64_values(arr, dtype)
+        valid = vals[~mask]
+        if len(valid) == 0:
+            return "dict"
+        rng = int(valid.max()) - int(valid.min())
+        est_for = packing.bit_width(rng) / 8.0
+        est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
+        est_rle = (
+            n_runs * (packing.bit_width(dict_n) + packing.bit_width(int(avg_run * 4) + 1)) / 8.0
+        ) / n + dict_bytes / n
+        best = min(("for", est_for), ("dict", est_dict), ("rle", est_rle), key=lambda t: t[1])
+        return best[0]
+
+    if dtype in typemap.FLOAT_DTYPES:
+        width = 8 if dtype == "double" else 4
+        est_raw = float(width)
+        est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
+        est_rle = (n_runs * packing.bit_width(dict_n) * 2 / 8.0) / n + dict_bytes / n
+        best = min(("raw", est_raw), ("dict", est_dict), ("rle", est_rle), key=lambda t: t[1])
+        return best[0]
+
+    if dtype == "boolean":
+        return "rle" if avg_run >= 8 else "raw"
+
+    # strings / binary
+    avg_len = stats.raw_bytes / n
+    est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
+    est_rle = (
+        n_runs * (packing.bit_width(dict_n) + packing.bit_width(int(avg_run * 4) + 1)) / 8.0
+    ) / n + dict_bytes / n
+    if dict_n <= n * 0.5 and min(est_dict, est_rle) < avg_len:
+        return "rle" if est_rle < est_dict else "dict"
+    # high cardinality: fsst vs raw+zstd decided by an honest trial on a sample
+    _, data, _ = typemap.str_buffers(arr)
+    sample = fsst._sample(data)
+    if not sample:
+        return "raw"
+    stripped, pos, _vals = fsst.strip_specials(sample)
+    syms = fsst.learn_symbols(fsst._sample(stripped))
+    if not syms:
+        return "raw"
+    comp = fsst.compress_buffer(stripped, syms)
+    z_raw = len(pa.compress(sample, codec="zstd", asbytes=True))
+    z_fsst = (
+        len(pa.compress(comp, codec="zstd", asbytes=True))
+        + sum(len(sy) + 1 for sy in syms)
+        + 2 * len(pos)
+    )
+    return "fsst" if z_fsst < z_raw * 0.95 else "raw"
