@@ -12,6 +12,10 @@ Core API:
 from .engine.encoder import encode
 from .engine.decoder import decode, discover_schema, ChunkDecodeError
 from .engine.verify import verify_roundtrip, roundtrip_ok
+from .engine.projection import project, project_chunks
+from .engine.pushdown import chunk_range_filter, filter_decode, pushdown_stats
+from .engine.checkpoint import encode_to, read_chunks, load_manifest, metrics
+from .functions.inference import column_profile, infer_repetition
 
 __all__ = [
     "encode",
@@ -20,4 +24,15 @@ __all__ = [
     "ChunkDecodeError",
     "verify_roundtrip",
     "roundtrip_ok",
+    "project",
+    "project_chunks",
+    "chunk_range_filter",
+    "filter_decode",
+    "pushdown_stats",
+    "encode_to",
+    "read_chunks",
+    "load_manifest",
+    "metrics",
+    "column_profile",
+    "infer_repetition",
 ]

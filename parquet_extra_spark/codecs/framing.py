@@ -20,6 +20,10 @@ from __future__ import annotations
 import pyarrow as pa
 
 _ZSTD_MIN = 64  # don't bother compressing tiny sections
+# level 3 ≈ parquet-mr's zstd default; pa.compress() would use level 1,
+# which loses the ≤-reference-Parquet(zstd) size bound by a few percent
+_ZSTD = pa.Codec("zstd", compression_level=3)
+_ZSTD_DEC = pa.Codec("zstd")
 
 
 def _write_varint(n: int, out: bytearray) -> None:
@@ -53,7 +57,7 @@ def pack_sections(sections: list[bytes]) -> bytes:
         raw = bytes(raw)
         stored, flag = raw, 0
         if len(raw) >= _ZSTD_MIN:
-            z = pa.compress(raw, codec="zstd", asbytes=True)
+            z = _ZSTD.compress(raw, asbytes=True)
             if len(z) < len(raw):
                 stored, flag = z, 1
         _write_varint(len(raw), header)
@@ -78,6 +82,6 @@ def unpack_sections(buf: bytes) -> list[bytes]:
         body = buf[pos : pos + stored_len]
         pos += stored_len
         if flag == 1:
-            body = pa.decompress(body, decompressed_size=raw_len, codec="zstd", asbytes=True)
+            body = _ZSTD_DEC.decompress(body, decompressed_size=raw_len, asbytes=True)
         sections.append(body)
     return sections

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame, functions as F
 
-from ..codecs import encode_array, typemap
+from ..codecs import typemap
 from . import stats as stats_mod
 from .chunk import CHUNK_ARROW_SCHEMA, CHUNK_SPARK_SCHEMA, chunk_uid
 
@@ -69,8 +69,7 @@ def _chunk_rows_batch(
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
         st = stats_mod.compute_stats(arr, dtype)
-        codec = forced_codec or stats_mod.select_codec(arr, dtype, st)
-        payload = encode_array(arr, dtype, codec)
+        codec, payload = stats_mod.choose_and_encode(arr, dtype, st, forced_codec)
         rows["part_key"].append(part_key)
         rows["salt"].append(salt)
         rows["chunk_id"].append(cid)
@@ -153,6 +152,28 @@ def _make_encode_fn(columns: list[str], dtypes: dict[str, str], chunk_rows: int,
     return encode_fn
 
 
+def unit_exprs(
+    columns: list[str],
+    partition_cols: list[str] | None,
+    n_buckets: int,
+    n_salts: int,
+    salt_col: str | None,
+):
+    """The (bucket, salt) work-unit expressions — shared with the
+    checkpoint layer so resume can identify completed units on the source
+    side *before* paying for encode."""
+    partition_cols = partition_cols or []
+    if partition_cols:
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in partition_cols]), F.lit(n_buckets)
+        ).cast("int")
+    else:
+        bucket_expr = F.lit(0).cast("int")
+    salt_src = salt_col or next((c for c in columns if c not in partition_cols), columns[0])
+    salt_expr = F.pmod(F.xxhash64(F.col(salt_src).cast("string")), F.lit(n_salts)).cast("int")
+    return bucket_expr, salt_expr
+
+
 def encode(
     df: DataFrame,
     partition_cols: list[str] | None = None,
@@ -182,19 +203,8 @@ def encode(
             raise TypeError(f"column {c!r}: unsupported type {dt}")
 
     partition_cols = partition_cols or []
-    if partition_cols:
-        bucket_expr = F.pmod(
-            F.xxhash64(*[F.col(c) for c in partition_cols]), F.lit(n_buckets)
-        ).cast("int")
-    else:
-        bucket_expr = F.lit(0).cast("int")
-    salt_src = salt_col or next(
-        (c for c in columns if c not in partition_cols), columns[0]
-    )
-    work = df.withColumn(_BUCKET, bucket_expr).withColumn(
-        _SALT,
-        F.pmod(F.xxhash64(F.col(salt_src).cast("string")), F.lit(n_salts)).cast("int"),
-    )
+    bucket_expr, salt_expr = unit_exprs(columns, partition_cols, n_buckets, n_salts, salt_col)
+    work = df.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     work = work.repartition(n_part, _BUCKET, _SALT)
     sort_exprs = [_BUCKET, _SALT] + list(partition_cols) + list(sort_cols or [])

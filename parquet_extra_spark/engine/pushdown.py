@@ -1,0 +1,108 @@
+"""Chunk-level predicate pushdown over the encoded chunk table.
+
+The Spark-native analogue of parquet-extra's Predicate macro
+(parquet-avro Predicate.scala:47-183): a user-level comparison is
+evaluated against *chunk statistics* (min_val/max_val/null_count stored
+per chunk-column row) to skip whole chunks before any decode, then
+re-checked exactly on the decoded rows — the reference's dual
+coarse-pushdown + exact-native-recheck contract
+(Predicate.scala:10,19-27 Predicates{native, parquet}, tested
+PredicateTest.scala:206-222).
+
+Soundness: stats filters only *skip* chunks that provably contain no
+matching row. NULL min/max (all-null chunk or truncated string max)
+means "unbounded" and the chunk is kept. The exact filter runs after
+decode, so results equal filtering the original DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..codecs import typemap
+from .decoder import decode, discover_schema
+
+_NUMERIC = typemap.INT_DTYPES | typemap.FLOAT_DTYPES
+
+
+def _typed_stat(col: Column, dtype: str) -> Column:
+    """Cast a stored stats string back to a comparable type."""
+    if dtype in _NUMERIC:
+        return col.cast("double")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return col.cast("timestamp")
+    if dtype == "date":
+        return col.cast("date")
+    return col  # strings compare lexically
+
+
+def chunk_range_filter(
+    chunks: DataFrame,
+    column: str,
+    lower=None,
+    upper=None,
+    dtype: str | None = None,
+) -> DataFrame:
+    """Keep only chunks whose [min,max] interval may intersect
+    [lower, upper] on `column`. Either bound may be None (unbounded).
+
+    Returns the *full* chunk rows (all columns) of surviving chunks —
+    a semi-join on chunk_id, broadcast-friendly at scale because the
+    surviving-id set is tiny relative to the chunk table.
+    """
+    if dtype is None:
+        dtype = dict(
+            (c, d) for c, _, d in discover_schema(chunks)
+        ).get(column)
+        if dtype is None:
+            raise ValueError(f"unknown column {column!r}")
+    stat_rows = chunks.filter(F.col("column") == column)
+    mn = _typed_stat(F.col("min_val"), dtype)
+    mx = _typed_stat(F.col("max_val"), dtype)
+    keep = F.lit(True)
+    if lower is not None:
+        # chunk max < lower → provably no match; NULL max = unbounded → keep
+        keep = keep & (mx.isNull() | (mx >= F.lit(lower)))
+    if upper is not None:
+        keep = keep & (mn.isNull() | (mn <= F.lit(upper)))
+    surviving = stat_rows.filter(keep).select("chunk_id")
+    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+
+
+def filter_decode(
+    chunks: DataFrame,
+    column: str,
+    lower=None,
+    upper=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase filtered decode: chunk-stats skip (coarse) + exact
+    row-level re-check after decode — O16's dual-predicate model."""
+    schema = {c: d for c, _, d in discover_schema(chunks)}
+    if column not in schema:
+        raise ValueError(f"unknown column {column!r}")
+    pruned = chunk_range_filter(chunks, column, lower, upper, schema[column])
+    need = columns if columns is None else sorted(set(columns) | {column})
+    out = decode(pruned, columns=need)
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (F.col(column) >= F.lit(lower))
+    if upper is not None:
+        cond = cond & (F.col(column) <= F.lit(upper))
+    out = out.filter(cond)
+    if columns is not None and column not in columns:
+        out = out.select(*columns)
+    return out
+
+
+def pushdown_stats(chunks: DataFrame, column: str, lower=None, upper=None) -> dict:
+    """Report pruning effectiveness: chunks total vs surviving (for tests
+    and EXPLAIN-style introspection)."""
+    total = chunks.select("chunk_id").distinct().count()
+    kept = (
+        chunk_range_filter(chunks, column, lower, upper)
+        .select("chunk_id")
+        .distinct()
+        .count()
+    )
+    return {"chunks_total": total, "chunks_kept": kept, "chunks_skipped": total - kept}

@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..codecs import fsst, packing, typemap
+from ..codecs import encode_array as encode_array_fn
 
 _STR_TRUNC = 64
 
@@ -151,63 +152,84 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
     )
 
 
-def select_codec(arr: pa.Array, dtype: str, stats: ColumnStats) -> str:
-    """Decision table over chunk stats; ties broken by estimated bytes/value."""
-    n = max(stats.n, 1)
-    if dtype.startswith("array<"):
-        return "list"
-    dict_n = max(stats.distinct, 1)
-    n_runs = max(stats.n_runs, 1)
-    avg_run = n / n_runs
-    dict_bytes = stats.dict_bytes
-
-    if dtype in typemap.INTLIKE_DTYPES:
-        vals, mask = typemap.to_int64_values(arr, dtype)
-        valid = vals[~mask]
-        if len(valid) == 0:
-            return "dict"
-        rng = int(valid.max()) - int(valid.min())
-        est_for = packing.bit_width(rng) / 8.0
-        est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
-        est_rle = (
-            n_runs * (packing.bit_width(dict_n) + packing.bit_width(int(avg_run * 4) + 1)) / 8.0
-        ) / n + dict_bytes / n
-        best = min(("for", est_for), ("dict", est_dict), ("rle", est_rle), key=lambda t: t[1])
-        return best[0]
-
-    if dtype in typemap.FLOAT_DTYPES:
-        width = 8 if dtype == "double" else 4
-        est_raw = float(width)
-        est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
-        est_rle = (n_runs * packing.bit_width(dict_n) * 2 / 8.0) / n + dict_bytes / n
-        best = min(("raw", est_raw), ("dict", est_dict), ("rle", est_rle), key=lambda t: t[1])
-        return best[0]
-
-    if dtype == "boolean":
-        return "rle" if avg_run >= 8 else "raw"
-
-    # strings / binary
-    avg_len = stats.raw_bytes / n
-    est_dict = packing.bit_width(dict_n - 1) / 8.0 + dict_bytes / n
-    est_rle = (
-        n_runs * (packing.bit_width(dict_n) + packing.bit_width(int(avg_run * 4) + 1)) / 8.0
-    ) / n + dict_bytes / n
-    if dict_n <= n * 0.5 and min(est_dict, est_rle) < avg_len:
-        return "rle" if est_rle < est_dict else "dict"
-    # high cardinality: fsst vs raw+zstd decided by an honest trial on a sample
+def _fsst_gate(arr: pa.Array) -> bool:
+    """Sample gate for the expensive FSST codec. Post-zstd sizes on a small
+    sample mispredict full-chunk outcomes (zstd's window covers the whole
+    sample), so the gate uses fsst's own substitution ratio plus the shape
+    of the learned symbols: genuinely compressible text yields long symbols
+    and a big substitution win; high-entropy data (hex digests) yields only
+    2-gram symbols whose post-zstd size is no better than zstd alone."""
     _, data, _ = typemap.str_buffers(arr)
     sample = fsst._sample(data)
     if not sample:
-        return "raw"
+        return False
     stripped, pos, _vals = fsst.strip_specials(sample)
     syms = fsst.learn_symbols(fsst._sample(stripped))
     if not syms:
-        return "raw"
+        return False
     comp = fsst.compress_buffer(stripped, syms)
-    z_raw = len(pa.compress(sample, codec="zstd", asbytes=True))
-    z_fsst = (
-        len(pa.compress(comp, codec="zstd", asbytes=True))
-        + sum(len(sy) + 1 for sy in syms)
-        + 2 * len(pos)
-    )
-    return "fsst" if z_fsst < z_raw * 0.95 else "raw"
+    pre_ratio = (len(comp) + 2 * len(pos)) / max(1, len(sample))
+    avg_sym_len = sum(len(sy) for sy in syms) / len(syms)
+    return pre_ratio < 0.6 and avg_sym_len >= 3.0
+
+
+def _candidates(arr: pa.Array, dtype: str, stats: ColumnStats) -> list[str]:
+    """Cheap-to-try codec shortlist from chunk stats; FSST only past its
+    sample gate (it costs real CPU), dict/rle only when cardinality/run
+    structure makes them plausible."""
+    n = max(stats.n, 1)
+    if dtype.startswith("array<"):
+        return ["list"]
+    dict_n = max(stats.distinct, 1)
+    avg_run = n / max(stats.n_runs, 1)
+    if dtype in typemap.INTLIKE_DTYPES:
+        cands = ["for"]
+        if dict_n <= n * 0.5:
+            cands.append("dict")
+        if avg_run >= 2.0:
+            cands.append("rle")
+        return cands
+    if dtype in typemap.FLOAT_DTYPES:
+        cands = ["raw"]
+        if dict_n <= n * 0.5:
+            cands.append("dict")
+        if avg_run >= 2.0:
+            cands.append("rle")
+        return cands
+    if dtype == "boolean":
+        return ["raw", "rle"] if avg_run >= 4 else ["raw"]
+    # strings / binary
+    avg_len = stats.raw_bytes / n
+    cands = ["raw"]
+    big_values = avg_len >= 256  # trial-encoding dict/rle on huge text is wasted work
+    if dict_n <= n * 0.8 and not (big_values and dict_n > n * 0.1):
+        cands += ["dict", "rle"]
+    if avg_len >= 16 and _fsst_gate(arr):
+        cands.append("fsst")
+    return cands
+
+
+def choose_and_encode(
+    arr: pa.Array, dtype: str, stats: ColumnStats, forced: str | None = None
+) -> tuple[str, bytes]:
+    """Trial-encode the candidate codecs on the actual chunk and keep the
+    smallest payload. The framing layer's zstd makes a-priori size
+    estimates unreliable (zstd interacts with each codec's layout), so the
+    only honest selector is the encoded size itself; candidates are
+    pre-filtered by stats so the trials stay cheap, and the raw(+zstd)
+    fallback is always in the set — guaranteeing every chunk is at worst
+    zstd-of-raw, which is what keeps the total under the reference
+    Parquet(zstd) size (BASELINE.json north_rule)."""
+    if forced is not None:
+        return forced, encode_array_fn(arr, dtype, forced)
+    best_codec, best_payload = None, None
+    for codec in _candidates(arr, dtype, stats):
+        payload = encode_array_fn(arr, dtype, codec)
+        if best_payload is None or len(payload) < len(best_payload):
+            best_codec, best_payload = codec, payload
+    return best_codec, best_payload
+
+
+def select_codec(arr: pa.Array, dtype: str, stats: ColumnStats) -> str:
+    """Name-only variant of choose_and_encode (tests, introspection)."""
+    return choose_and_encode(arr, dtype, stats)[0]

@@ -1,0 +1,163 @@
+"""Engine integration tests: encode/decode/verify over Spark, projection,
+pushdown, inference, checkpoint/resume. The round-trip property is the
+core oracle (ParquetExampleTest.scala:51-55)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import parquet_extra_spark as pes
+from parquet_extra_spark.sources import code_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = code_corpus(spark, n_rows=5000).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def corpus_chunks(spark, corpus):
+    c = pes.encode(
+        corpus,
+        partition_cols=["repo", "lang"],
+        sort_cols=["path", "commit"],
+        chunk_rows=2048,
+        n_buckets=8,
+        n_salts=2,
+    ).cache()
+    c.count()
+    yield c
+    c.unpersist()
+
+
+def test_corpus_roundtrip(corpus, corpus_chunks):
+    assert pes.roundtrip_ok(corpus, pes.decode(corpus_chunks))
+
+
+def test_sha256_roundtrip_per_row(spark, corpus, corpus_chunks):
+    """north_rule invariant: every decoded content sha256-identical,
+    verified per row via join on (repo, path, commit)."""
+    dec = pes.decode(corpus_chunks)
+    s = corpus.select("repo", "path", "commit", F.sha2("content", 256).alias("h_src"))
+    d = dec.select("repo", "path", "commit", F.sha2("content", 256).alias("h_dec"))
+    j = s.join(d, ["repo", "path", "commit"])
+    n_bad = j.filter(F.col("h_src") != F.col("h_dec")).count()
+    assert n_bad == 0
+    assert j.count() >= corpus.count()  # dup keys may fan out, never drop
+
+
+def test_projection_decode(corpus, corpus_chunks):
+    dec = pes.decode(corpus_chunks, columns=["repo", "lang"])
+    assert dec.columns == ["repo", "lang"]
+    assert dec.count() == corpus.count()
+
+
+def test_projection_unknown_column_fails(corpus_chunks):
+    with pytest.raises(ValueError, match="unknown columns"):
+        pes.decode(corpus_chunks, columns=["no_such_col"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        pes.project_chunks(corpus_chunks, ["content", "missing"])
+
+
+def test_chunks_never_span_buckets(corpus_chunks):
+    bad = (
+        corpus_chunks.groupBy("chunk_id")
+        .agg(F.countDistinct("part_key").alias("pks"), F.countDistinct("salt").alias("salts"))
+        .filter((F.col("pks") > 1) | (F.col("salts") > 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_compression_beats_parquet_zstd(spark, corpus, tmp_path):
+    """north_rule size bound: encoded bytes <= same data as parquet+zstd.
+
+    Chunk granularity must be realistic relative to data volume — tiny
+    chunks fragment zstd windows and pay per-chunk metadata, which is a
+    test-scale artifact, not an engine property (at the production 64Ki
+    chunk_rows the ratio improves further; see BENCH)."""
+    out = str(tmp_path / "ref_parquet")
+    corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    import os
+
+    parquet_bytes = sum(
+        os.path.getsize(os.path.join(out, f)) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    chunks = pes.encode(
+        corpus,
+        partition_cols=["repo", "lang"],
+        sort_cols=["path", "commit"],
+        chunk_rows=8192,
+        n_buckets=2,
+        n_salts=1,
+    )
+    encoded_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
+    assert encoded_bytes <= parquet_bytes, (encoded_bytes, parquet_bytes)
+
+
+def test_pushdown_prunes_and_matches(spark, corpus, corpus_chunks):
+    lo, hi = "a", "b"  # content starting with comment '#' sorts below 'a'
+    # use a selective numeric-ish predicate on path instead
+    res = pes.filter_decode(corpus_chunks, "lang", lower="py", upper="py")
+    expected = corpus.filter((F.col("lang") >= "py") & (F.col("lang") <= "py"))
+    assert pes.roundtrip_ok(expected, res)
+    st = pes.pushdown_stats(corpus_chunks, "lang", "zz", None)
+    assert st["chunks_kept"] == 0  # nothing sorts >= 'zz'
+    assert st["chunks_skipped"] == st["chunks_total"]
+
+
+def test_pushdown_exactness_vs_plain_filter(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    chunks = pes.encode(li, sort_cols=["l_quantity"], chunk_rows=1024, n_buckets=4, n_salts=2)
+    res = pes.filter_decode(chunks, "l_quantity", lower=10.0, upper=20.0)
+    expected = li.filter((F.col("l_quantity") >= 10.0) & (F.col("l_quantity") <= 20.0))
+    assert pes.roundtrip_ok(expected, res)
+
+
+def test_column_profile_matches_sql(spark, corpus):
+    prof = {r["column"]: r for r in pes.column_profile(corpus, ["lang", "repo"]).collect()}
+    n = corpus.count()
+    assert prof["lang"]["n_rows"] == n
+    assert prof["lang"]["n_distinct"] == corpus.select("lang").distinct().count()
+    assert prof["repo"]["n_nulls"] == 0
+    assert prof["lang"]["min_val"] == "go"
+
+
+def test_infer_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1]), (2, None, [])], "r bigint, o string, l array<bigint>"
+    )
+    rep = {r["column"]: r["repetition"] for r in pes.infer_repetition(df).collect()}
+    assert rep == {"r": "required", "o": "optional", "l": "repeated"}
+
+
+def test_checkpoint_resume_exactly_once(spark, corpus, tmp_path):
+    out = str(tmp_path / "ckpt")
+    kw = dict(partition_cols=["repo", "lang"], chunk_rows=2048, n_buckets=4, n_salts=2)
+    r1 = pes.encode_to(corpus, out_dir=out, **kw)
+    assert r1["units_total"] > 0
+    # resume over the same input: no new units, chunks unchanged
+    before = pes.read_chunks(spark, out).count()
+    r2 = pes.encode_to(corpus, out_dir=out, **kw)
+    after = pes.read_chunks(spark, out).count()
+    assert r2["units_total"] == r1["units_total"]
+    assert before == after
+    # decoded output still exact
+    assert pes.roundtrip_ok(corpus, pes.decode(pes.read_chunks(spark, out)))
+    # metrics table present and consistent
+    m = pes.metrics(spark, out)
+    assert m.agg(F.sum("n_chunks")).collect()[0][0] >= r1["units_total"]
+
+
+def test_decode_error_context(spark, corpus_chunks):
+    bad = corpus_chunks.withColumn(
+        "payload",
+        F.when(F.col("column") == "content", F.lit(b"\x01junk")).otherwise(F.col("payload")),
+    )
+    with pytest.raises(Exception, match="chunk_id"):
+        pes.decode(bad).count()
