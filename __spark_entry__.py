@@ -1,38 +1,210 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: encode/decode/verify the sf0.001 documents
+                    table through the columnar-compression engine.
+queries()         — one entry per implemented operator (SURVEY.md §2);
+                    each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()      — DuckDB-equivalent ANSI SQL per query (the driver
+                    compares row-count + schema + order-insensitive
+                    value hash at sf0.01).
+
+Engine-path queries (projection / roundtrip / pushdown) run the actual
+encode->decode pipeline and are compared against plain SQL on the source
+table — valid because a correct round trip is an identity, so any codec
+or assembly bug shows up as a value-hash mismatch.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import parquet_extra_spark as pes
+
+_DOC_ENCODE = dict(
+    partition_cols=["lang", "source"],
+    sort_cols=["doc_id"],
+    chunk_rows=4096,
+    n_buckets=4,
+    n_salts=2,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pes.encode(_docs(spark, sf_dir), **_DOC_ENCODE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: encode -> decode -> verify."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    chunks = pes.encode(docs, **_DOC_ENCODE).cache()
+    decoded = pes.decode(chunks)
+    report = pes.verify_roundtrip(docs, decoded)
+    sizes = chunks.agg(
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+    )
+    return report.crossJoin(sizes)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O6/O19-O20: decode only requested columns from the chunk table."""
+    return pes.decode(_doc_chunks(spark, sf_dir), columns=["doc_id", "lang"])
+
+
+def q_roundtrip_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17+O18: full encode->decode identity over every column."""
+    return pes.decode(_doc_chunks(spark, sf_dir))
+
+
+def q_roundtrip_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule invariant: sha256(content) of decoded rows."""
+    dec = pes.decode(_doc_chunks(spark, sf_dir), columns=["doc_id", "text"])
+    return dec.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha256"))
+
+
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7-O16: chunk-stats skip + exact re-check equals a plain filter."""
+    return pes.filter_decode(
+        _doc_chunks(spark, sf_dir), "n_chars", lower=150, upper=350
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 schema-inference scan facts on string columns."""
+    return pes.column_profile(_docs(spark, sf_dir), ["lang", "source"])
+
+
+def q_infer_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 required/optional classification (ExampleScanner.java:77-87)."""
+    return pes.infer_repetition(_docs(spark, sf_dir).select("doc_id", "text", "lang"))
+
+
+def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22/O25: footer-style schema read-back from the chunk table."""
+    cols = pes.discover_schema(_doc_chunks(spark, sf_dir))
+    return spark.createDataFrame(cols, "column string, col_idx int, dtype string")
+
+
+def q_codec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27-adjacent: per-column codec/size metrics (rows-only check —
+    codec choice is an engine-internal decision with no SQL analogue)."""
+    return (
+        _doc_chunks(spark, sf_dir)
+        .groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sanity over lineitem (deterministic aggregates only)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+def q_order_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join orders x customer + aggregate."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "projection": q_projection,
+        "roundtrip_full": q_roundtrip_full,
+        "roundtrip_sha": q_roundtrip_sha,
+        "filter_pushdown": q_filter_pushdown,
+        "column_profile": q_column_profile,
+        "infer_repetition": q_infer_repetition,
+        "schema_discovery": q_schema_discovery,
+        "codec_metrics": q_codec_metrics,
+        "pricing_summary": q_pricing_summary,
+        "order_segments": q_order_segments,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    profile_union = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column, 'string' AS dtype,
+               count(*) AS n_rows,
+               (count(*) - count({c})) AS n_nulls,
+               count(distinct {c}) AS n_distinct,
+               cast(min({c}) AS varchar) AS min_val,
+               cast(max({c}) AS varchar) AS max_val,
+               round(avg(length(cast({c} AS varchar))), 4) AS avg_len
+           FROM documents"""
+        for c in ("lang", "source")
+    )
+    rep_union = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column, '{t}' AS dtype,
+               CASE WHEN count(*) - count({c}) = 0 THEN 'required'
+                    ELSE 'optional' END AS repetition
+           FROM documents"""
+        for c, t in (("doc_id", "bigint"), ("text", "string"), ("lang", "string"))
+    )
+    schema_union = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, CAST({i} AS integer) AS col_idx, '{t}' AS dtype"
+        for i, (c, t) in enumerate(
+            [
+                ("doc_id", "bigint"),
+                ("text", "string"),
+                ("lang", "string"),
+                ("source", "string"),
+                ("n_chars", "bigint"),
+            ]
+        )
+    )
+    return {
+        "projection": "SELECT doc_id, lang FROM documents",
+        "roundtrip_full": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_sha": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
+        "filter_pushdown": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE n_chars >= 150 AND n_chars <= 350"
+        ),
+        "column_profile": profile_union,
+        "infer_repetition": rep_union,
+        "schema_discovery": schema_union,
+        # codec_metrics: intentionally no oracle (engine-internal decision)
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items,"
+            " count(distinct l_orderkey) AS n_orders,"
+            " min(l_quantity) AS min_qty, max(l_quantity) AS max_qty"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "order_segments": (
+            "SELECT c_mktsegment, count(*) AS n_orders,"
+            " count(distinct o_custkey) AS n_customers"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment"
+        ),
+    }

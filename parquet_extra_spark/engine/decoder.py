@@ -122,6 +122,7 @@ def decode(
     chunks: DataFrame,
     columns: list[str] | None = None,
     num_partitions: int | None = None,
+    schema_cols: list[tuple[str, int, str]] | None = None,
 ) -> DataFrame:
     """Decode the chunk table back into a data DataFrame.
 
@@ -131,7 +132,12 @@ def decode(
     reference's invalid-projection contract (ExampleReadSupport.java:88).
     """
     spark = chunks.sparkSession
-    schema_cols = discover_schema(chunks)
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
+    if not schema_cols:
+        raise ChunkDecodeError(
+            "empty chunk table and no schema_cols given — cannot derive output schema"
+        )
     known = {c for c, _, _ in schema_cols}
     if columns is not None:
         unknown = [c for c in columns if c not in known]

@@ -53,6 +53,9 @@ def _as_array(col) -> pa.Array:
     return col
 
 
+_RESELECT_EVERY = 8  # re-run full codec selection every Nth chunk per column
+
+
 def _chunk_rows_batch(
     part_key: str,
     salt: int,
@@ -61,15 +64,30 @@ def _chunk_rows_batch(
     columns: list[str],
     dtypes: dict[str, str],
     forced_codec: str | None,
+    memo: dict,
 ) -> pa.RecordBatch:
-    """Encode one chunk (all columns) -> record batch of chunk-table rows."""
+    """Encode one chunk (all columns) -> record batch of chunk-table rows.
+
+    ``memo`` caches the selected codec per column within this task:
+    consecutive chunks of a column in one partition see near-identical
+    distributions, so the (trial-encode based) selection only re-runs every
+    _RESELECT_EVERY chunks — the same amortization parquet writers use for
+    their dictionary-fallback heuristics."""
     cid = chunk_uid(part_key, salt, seq)
     rows = {name: [] for name in CHUNK_ARROW_SCHEMA.names}
     for idx, col in enumerate(columns):
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
         st = stats_mod.compute_stats(arr, dtype)
-        codec, payload = stats_mod.choose_and_encode(arr, dtype, st, forced_codec)
+        hint, uses = memo.get(col, (None, 0))
+        if forced_codec is not None:
+            codec, payload = stats_mod.choose_and_encode(arr, dtype, st, forced_codec)
+        elif hint is not None and uses < _RESELECT_EVERY:
+            codec, payload = stats_mod.choose_and_encode(arr, dtype, st, hint)
+            memo[col] = (hint, uses + 1)
+        else:
+            codec, payload = stats_mod.choose_and_encode(arr, dtype, st, None)
+            memo[col] = (codec, 1)
         rows["part_key"].append(part_key)
         rows["salt"].append(salt)
         rows["chunk_id"].append(cid)
@@ -102,6 +120,7 @@ def _make_encode_fn(columns: list[str], dtypes: dict[str, str], chunk_rows: int,
         buf: list[pa.Table] = []
         buf_rows = 0
         seqs: dict[tuple[int, int], int] = {}
+        memo: dict = {}  # per-column codec cache for this task
 
         def flush():
             nonlocal buf, buf_rows
@@ -112,7 +131,9 @@ def _make_encode_fn(columns: list[str], dtypes: dict[str, str], chunk_rows: int,
             seqs[cur_key] = seq + 1
             table = pa.concat_tables(buf).combine_chunks()
             buf, buf_rows = [], 0
-            return _chunk_rows_batch(f"b{bucket}", salt, seq, table, columns, dtypes, codec)
+            return _chunk_rows_batch(
+                f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo
+            )
 
         for batch in batches:
             table = pa.Table.from_batches([batch])

@@ -78,12 +78,13 @@ def filter_decode(
 ) -> DataFrame:
     """Two-phase filtered decode: chunk-stats skip (coarse) + exact
     row-level re-check after decode — O16's dual-predicate model."""
-    schema = {c: d for c, _, d in discover_schema(chunks)}
+    schema_cols = discover_schema(chunks)
+    schema = {c: d for c, _, d in schema_cols}
     if column not in schema:
         raise ValueError(f"unknown column {column!r}")
     pruned = chunk_range_filter(chunks, column, lower, upper, schema[column])
     need = columns if columns is None else sorted(set(columns) | {column})
-    out = decode(pruned, columns=need)
+    out = decode(pruned, columns=need, schema_cols=schema_cols)
     cond = F.lit(True)
     if lower is not None:
         cond = cond & (F.col(column) >= F.lit(lower))

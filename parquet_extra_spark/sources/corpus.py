@@ -52,16 +52,28 @@ def code_corpus(
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]), (F.pmod(F.col("i"), F.lit(7)) + 1).cast("int")
     )
-    # path: sorted-ish runs — directory changes every 256 rows, file every row
+    # path: repo-local directories — clustering by repo then sorting by path
+    # yields directory runs (RLE-friendly), like a real checkout
     path = F.concat(
         F.lit("src/dir"),
-        (F.col("i") / 256).cast("long").cast("string"),
+        F.pmod(F.xxhash64(F.col("i") + 7), F.lit(40)).cast("string"),
         F.lit("/file"),
-        F.pmod(F.col("i"), F.lit(256)).cast("string"),
+        F.pmod(F.col("i"), F.lit(1024)).cast("string"),
         F.lit("."),
         lang,
     )
-    commit = F.sha2(F.concat(F.lit("c"), (F.col("i") / commit_run).cast("long").cast("string")), 256)
+    # commit belongs to its repo (files of one repo share its commits), and
+    # commits-per-repo scales with repo size, so repo-clustered sorting
+    # restores commit runs of ~commit_run rows — matching real corpora
+    mega_commits = max(2, int(n_rows * mega_share) // commit_run)
+    small_commits = max(2, int(n_rows * (1 - mega_share)) // max(n_repos * 17, 1) // max(commit_run // 10, 1))
+    n_commits = F.when(repo == "org0/megarepo", F.lit(mega_commits)).otherwise(
+        F.lit(small_commits)
+    )
+    commit = F.sha2(
+        F.concat(repo, F.lit("@"), F.pmod(F.xxhash64(F.col("i") + 13), n_commits).cast("string")),
+        256,
+    )
     # content: templated pseudo-source; identifiers derived from sha2 fragments,
     # plus a per-row high-entropy line so zstd can't trivially collapse rows
     frag = F.substring(F.sha2(F.col("i").cast("string"), 256), 1, 8)

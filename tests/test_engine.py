@@ -25,7 +25,7 @@ def corpus_chunks(spark, corpus):
     c = pes.encode(
         corpus,
         partition_cols=["repo", "lang"],
-        sort_cols=["path", "commit"],
+        sort_cols=["commit", "path"],
         chunk_rows=2048,
         n_buckets=8,
         n_salts=2,
@@ -91,7 +91,7 @@ def test_compression_beats_parquet_zstd(spark, corpus, tmp_path):
     chunks = pes.encode(
         corpus,
         partition_cols=["repo", "lang"],
-        sort_cols=["path", "commit"],
+        sort_cols=["commit", "path"],
         chunk_rows=8192,
         n_buckets=2,
         n_salts=1,
