@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import parquet_extra_spark as pes
+from parquet_extra_spark import operators as ops
 
 _DOC_ENCODE = dict(
     partition_cols=["lang", "source"],
@@ -137,6 +138,44 @@ def q_order_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup report (hash aggregate over sha256 fingerprints)."""
+    return ops.exact_dup_stats(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 fingerprints (normalized whitespace+case)."""
+    return ops.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return ops.token_counts(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification."""
+    return ops.lang_id(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed deterministic query vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]  # fixed query
+    return ops.brute_force_topk(emb, q, k=20)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clusters (rows-only: xxhash64 has no DuckDB
+    analogue, so the values cannot be reproduced in SQL)."""
+    return ops.minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters (rows-only, same xxhash64 reason)."""
+    return ops.simhash_dedup(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -149,7 +188,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_metrics": q_codec_metrics,
         "pricing_summary": q_pricing_summary,
         "order_segments": q_order_segments,
+        "dedup_stats": q_dedup_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
     }
+
+
+_ANN_QUERY_SQL = (
+    "[" + ", ".join(str(((i * 37) % 17 - 8) / 10.0) for i in range(64)) + "]::DOUBLE[]"
+)
+
+
+def _lang_id_oracle() -> str:
+    from parquet_extra_spark.operators.textstats import LANG_STOPWORDS
+
+    toks = (
+        "list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        " x -> x <> ''), t -> lower(t))"
+    )
+    n_tok = f"greatest(len({toks}), 1)"
+    score = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score[lang] = f"(len(list_filter({toks}, t -> list_contains({arr}, t)))::DOUBLE / {n_tok})"
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for lang in sorted(score):
+        pred += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    pred += "END"
+    return (
+        f"SELECT doc_id AS id, {pred} AS lang_pred, round({best}, 6) AS lang_score"
+        " FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -207,4 +281,27 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment"
         ),
+        "dedup_stats": (
+            "SELECT count(*) AS n_rows, count(distinct sha256(text)) AS n_distinct,"
+            " count(*) - count(distinct sha256(text)) AS n_dup_rows FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id AS id,"
+            " md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint"
+            " FROM documents"
+        ),
+        "token_counts": (
+            "SELECT doc_id AS id,"
+            " len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))::BIGINT AS n_ws_tokens,"
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,"
+            " length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "lang_id": _lang_id_oracle(),
+        "ann_topk": (
+            "SELECT vec_id AS id,"
+            " round(list_cosine_similarity(embedding::DOUBLE[],"
+            f" {_ANN_QUERY_SQL}), 6) AS cosine"
+            " FROM embeddings ORDER BY cosine DESC, id LIMIT 20"
+        ),
+        # minhash_dedup / simhash_dedup: rows-only (xxhash64-based)
     }

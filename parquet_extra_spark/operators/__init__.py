@@ -1,0 +1,33 @@
+from .dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    minhash_signatures,
+    minhash_lsh_dedup,
+    simhash,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+)
+from .similarity import brute_force_topk, cosine_pairs_lsh, embedding_near_dups
+from .textstats import (
+    token_counts,
+    quality_scores,
+    lang_id,
+    doc_fingerprints,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_stats",
+    "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "cosine_pairs_lsh",
+    "embedding_near_dups",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "doc_fingerprints",
+]

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k against a query vector; the dot
+  product is a JVM higher-order aggregate (F.zip_with + F.aggregate), so
+  the scan whole-stage-codegens and parallelizes like any column scan.
+  This is the correctness baseline.
+* cosine_pairs_lsh — all-pairs near-neighbour candidates via random-
+  hyperplane LSH (signed projections -> signature buckets -> bucket join),
+  verified with exact cosine. The scale path: candidate generation is a
+  hash join on the signature, never a cross join.
+* embedding_near_dups — near-duplicate vectors (cosine >= threshold)
+  clustered to min id, built on cosine_pairs_lsh.
+
+Hyperplanes are seeded numpy — deterministic, shipped as literal arrays
+(64 dims x n_planes doubles ~ trivially broadcastable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan + TakeOrdered (no full sort at scale)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit p = (vec . plane_p) > 0, packed to bigint."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(w)) for w in plane])) > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """-> (id_a, id_b, cosine >= threshold). n_tables independent signature
+    tables boost recall; candidates are verified with exact cosine."""
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sig_tables = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=42 + t)
+        sig_tables.append(
+            v.select(
+                "id", F.lit(t).alias("tbl"), lsh_signature(F.col("v"), planes).alias("sig")
+            )
+        )
+    sigs = sig_tables[0]
+    for s in sig_tables[1:]:
+        sigs = sigs.unionAll(s)
+    left, right = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """-> (id, cluster_id): embedding near-duplicates clustered to min id."""
+    pairs = cosine_pairs_lsh(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    links = pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("rep"))
+    clusters = links.groupBy("id").agg(F.min("rep").alias("cluster_id"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(clusters, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
