@@ -133,11 +133,24 @@ def learn_symbols(stripped_sample: bytes, max_symbols: int = MAX_SYMBOLS) -> lis
     return chosen
 
 
-def compress_buffer(stripped: bytes, symbols: list[bytes]) -> bytes:
+def compress_buffer(
+    stripped: bytes, symbols: list[bytes]
+) -> tuple[bytes, list[bytes]]:
+    """Replace symbols by code bytes, gain-ordered, with early termination:
+    when a window of passes stops shrinking the buffer (post-zstd size is
+    insensitive to the tail symbols anyway), stop and return the symbols
+    actually applied — fewer decode passes too. -> (buffer, used_symbols)."""
     out = stripped
+    window_start_len = len(out)
+    used = 0
     for i, sym in enumerate(symbols):
         out = out.replace(sym, bytes([CODE_BYTES[i]]))
-    return out
+        used = i + 1
+        if (i + 1) % 8 == 0:
+            if window_start_len - len(out) < max(64, len(out) // 500):
+                break
+            window_start_len = len(out)
+    return out, symbols[:used]
 
 
 def decompress_buffer(data: bytes, symbols: list[bytes]) -> bytes:
@@ -157,7 +170,7 @@ def trial_ratio(data: bytes) -> float:
     syms = learn_symbols(stripped)
     if not syms:
         return 1.0
-    comp = compress_buffer(stripped, syms)
+    comp, _used = compress_buffer(stripped, syms)
     return (len(comp) + 2 * len(pos)) / max(1, len(sample))
 
 
@@ -168,7 +181,7 @@ def encode(arr: pa.Array, dtype: str) -> bytes:
     lengths, data, mask = typemap.str_buffers(arr)
     stripped, spec_pos, spec_vals = strip_specials(data)
     symbols = learn_symbols(_sample(stripped))
-    comp = compress_buffer(stripped, symbols)
+    comp, symbols = compress_buffer(stripped, symbols)
     lwidth = packing.bit_width(int(lengths.max()) if n else 0)
     # store positions as deltas for tighter packing
     deltas = np.diff(spec_pos, prepend=np.uint64(0)) if len(spec_pos) else spec_pos

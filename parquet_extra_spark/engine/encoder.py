@@ -56,6 +56,31 @@ def _as_array(col) -> pa.Array:
 _RESELECT_EVERY = 8  # re-run full codec selection every Nth chunk per column
 
 
+def _sort_table(table: pa.Table, sort_cols: list[str]) -> pa.Table:
+    """Columnar in-chunk sort: np.lexsort over dictionary codes + one Arrow
+    take. Equal values become adjacent (all RLE needs); the order *within*
+    the chunk is by first-appearance code, not lexicographic — irrelevant
+    for compression and stats. ~10x cheaper than JVM row-wise sorting
+    because the wide content column moves once, columnar, instead of per
+    comparison-driven row copy."""
+    import numpy as np
+
+    keys = []
+    for c in reversed(sort_cols):
+        col = _as_array(table.column(c))
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
+            codes = col.dictionary_encode().indices.fill_null(-1)
+            keys.append(codes.to_numpy(zero_copy_only=False))
+        else:
+            try:
+                keys.append(col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False))
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                codes = col.cast(pa.string()).dictionary_encode().indices.fill_null(-1)
+                keys.append(codes.to_numpy(zero_copy_only=False))
+    order = np.lexsort(keys)
+    return table.take(pa.array(order))
+
+
 def _chunk_rows_batch(
     part_key: str,
     salt: int,
@@ -65,6 +90,7 @@ def _chunk_rows_batch(
     dtypes: dict[str, str],
     forced_codec: str | None,
     memo: dict,
+    sort_cols: list[str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
 
@@ -74,6 +100,8 @@ def _chunk_rows_batch(
     _RESELECT_EVERY chunks — the same amortization parquet writers use for
     their dictionary-fallback heuristics."""
     cid = chunk_uid(part_key, salt, seq)
+    if sort_cols:
+        table = _sort_table(table, sort_cols)
     rows = {name: [] for name in CHUNK_ARROW_SCHEMA.names}
     for idx, col in enumerate(columns):
         arr = _as_array(table.column(col))
@@ -112,7 +140,13 @@ def _chunk_rows_batch(
     )
 
 
-def _make_encode_fn(columns: list[str], dtypes: dict[str, str], chunk_rows: int, codec: str | None):
+def _make_encode_fn(
+    columns: list[str],
+    dtypes: dict[str, str],
+    chunk_rows: int,
+    codec: str | None,
+    sort_cols: list[str] | None = None,
+):
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -132,7 +166,8 @@ def _make_encode_fn(columns: list[str], dtypes: dict[str, str], chunk_rows: int,
             table = pa.concat_tables(buf).combine_chunks()
             buf, buf_rows = [], 0
             return _chunk_rows_batch(
-                f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo
+                f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
+                sort_cols=sort_cols,
             )
 
         for batch in batches:
@@ -228,8 +263,13 @@ def encode(
     work = df.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     work = work.repartition(n_part, _BUCKET, _SALT)
-    sort_exprs = [_BUCKET, _SALT] + list(partition_cols) + list(sort_cols or [])
-    work = work.sortWithinPartitions(*sort_exprs)
+    # JVM sort on the two int unit keys ONLY — just enough for group
+    # contiguity. Value ordering for RLE happens columnar *inside each
+    # chunk* (_sort_table): sorting full rows here would move the wide
+    # content strings through the row-wise sorter, the single most
+    # expensive non-scaling step measured (9s vs 2.3s on 0.5GB/32 cores).
+    work = work.sortWithinPartitions(_BUCKET, _SALT)
 
-    fn = _make_encode_fn(columns, dtypes, chunk_rows, codec)
+    chunk_sort = list(partition_cols) + list(sort_cols or [])
+    fn = _make_encode_fn(columns, dtypes, chunk_rows, codec, sort_cols=chunk_sort or None)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)

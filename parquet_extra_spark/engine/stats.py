@@ -167,10 +167,12 @@ def _fsst_gate(arr: pa.Array) -> bool:
     syms = fsst.learn_symbols(fsst._sample(stripped))
     if not syms:
         return False
-    comp = fsst.compress_buffer(stripped, syms)
+    comp, used = fsst.compress_buffer(stripped, syms)
     pre_ratio = (len(comp) + 2 * len(pos)) / max(1, len(sample))
-    avg_sym_len = sum(len(sy) for sy in syms) / len(syms)
-    return pre_ratio < 0.6 and avg_sym_len >= 3.0
+    if not used:
+        return False
+    avg_sym_len = sum(len(sy) for sy in used) / len(used)
+    return pre_ratio < 0.75 and avg_sym_len >= 3.0
 
 
 def _candidates(arr: pa.Array, dtype: str, stats: ColumnStats) -> list[str]:

@@ -197,9 +197,9 @@ def test_fsst_symbols_invertible():
     stripped, pos, vals = fsst.strip_specials(data)
     syms = fsst.learn_symbols(stripped)
     assert syms, "expected symbols on repetitive text"
-    comp = fsst.compress_buffer(stripped, syms)
+    comp, used = fsst.compress_buffer(stripped, syms)
     assert len(comp) < len(stripped)
-    assert fsst.decompress_buffer(comp, syms) == stripped
+    assert fsst.decompress_buffer(comp, used) == stripped
 
 
 # ---------- negative ----------
