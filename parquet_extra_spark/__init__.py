@@ -16,6 +16,14 @@ from .engine.projection import project, project_chunks
 from .engine.pushdown import chunk_range_filter, filter_decode, pushdown_stats
 from .engine.checkpoint import encode_to, read_chunks, load_manifest, metrics
 from .functions.inference import column_profile, infer_repetition
+from .engine.schema import (
+    from_json as schema_from_json,
+    to_json as schema_to_json,
+    from_struct as schema_from_struct,
+    to_struct as schema_to_struct,
+    validate_columns,
+)
+from .plans import explain_summary, pushed_filters, read_schema
 
 __all__ = [
     "encode",
@@ -35,4 +43,12 @@ __all__ = [
     "metrics",
     "column_profile",
     "infer_repetition",
+    "schema_from_json",
+    "schema_to_json",
+    "schema_from_struct",
+    "schema_to_struct",
+    "validate_columns",
+    "explain_summary",
+    "pushed_filters",
+    "read_schema",
 ]

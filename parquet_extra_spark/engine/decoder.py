@@ -49,9 +49,9 @@ def discover_schema(chunks: DataFrame) -> list[tuple[str, int, str]]:
 
 
 def _spark_schema(cols: list[tuple[str, int, str]]) -> T.StructType:
-    return T.StructType(
-        [T.StructField(name, T._parse_datatype_string(dt), True) for name, _, dt in cols]
-    )
+    from .schema import to_struct
+
+    return to_struct(cols)
 
 
 def _make_decode_fn(cols: list[tuple[str, int, str]]):

@@ -251,8 +251,11 @@ def encode(
     codec: force one codec (tests); default statistics-driven per
         chunk-column (engine/stats.py).
     """
+    from .schema import validate_columns
+
     spark = df.sparkSession
     columns = df.columns
+    validate_columns(columns)  # duplicate-name rejection (Schema.java:209)
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c, dt in dtypes.items():
         if dt not in typemap.SPARK_TO_ARROW:
