@@ -11,12 +11,13 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from . import dictionary, forpack, fsst, listcodec, raw, rle
+from . import delta, dictionary, forpack, fsst, listcodec, raw, rle
 
 CODECS = {
     "dict": dictionary,
     "rle": rle,
     "for": forpack,
+    "delta": delta,
     "fsst": fsst,
     "raw": raw,
     "list": listcodec,

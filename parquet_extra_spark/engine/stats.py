@@ -185,7 +185,7 @@ def _candidates(arr: pa.Array, dtype: str, stats: ColumnStats) -> list[str]:
     dict_n = max(stats.distinct, 1)
     avg_run = n / max(stats.n_runs, 1)
     if dtype in typemap.INTLIKE_DTYPES:
-        cands = ["for"]
+        cands = ["for", "delta"]
         if dict_n <= n * 0.5:
             cands.append("dict")
         if avg_run >= 2.0:

@@ -62,7 +62,7 @@ def test_binary_property(values):
 @_settings
 @given(opt_int)
 def test_bigint_property(values):
-    rt(values, pa.int64(), "bigint", ["dict", "rle", "raw", "for"])
+    rt(values, pa.int64(), "bigint", ["dict", "rle", "raw", "for", "delta"])
 
 
 @_settings

@@ -100,7 +100,7 @@ def test_for_golden_small_range():
 # ---------- round trips across types & codecs ----------
 
 STRING_CODECS = ["dict", "rle", "raw", "fsst"]
-INT_CODECS = ["dict", "rle", "raw", "for"]
+INT_CODECS = ["dict", "rle", "raw", "for", "delta"]
 
 
 @pytest.mark.parametrize("codec", STRING_CODECS)
@@ -212,4 +212,15 @@ def test_wrong_dtype_rejected():
 
 
 def test_registry_complete():
-    assert set(CODECS) == {"dict", "rle", "for", "fsst", "raw", "list"}
+    assert set(CODECS) == {"dict", "rle", "for", "delta", "fsst", "raw", "list"}
+
+
+def test_delta_beats_for_on_sorted_wide_range():
+    import json
+
+    # sorted values with tiny steps but a huge range: FOR needs ~34 bits,
+    # delta needs ~4
+    arr = pa.array([10_000_000_000 + i * 7 for i in range(5000)], type=pa.int64())
+    d = len(encode_array(arr, "bigint", "delta"))
+    f = len(encode_array(arr, "bigint", "for"))
+    assert d < f / 3
