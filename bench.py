@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession, functions as F
 
 
 def build_spark(cpus: int) -> SparkSession:
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("parquet_extra_spark_bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
@@ -28,8 +28,14 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # shuffle to tmpfs when present (cluster nodes shuffle to local NVMe;
+    # the sandbox overlay disk would serialize the measured pipeline)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-graft-tmp"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    return builder.getOrCreate()
 
 
 def main() -> None:
@@ -94,9 +100,18 @@ def main() -> None:
     enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
     import tempfile
 
+    # reference write path on identical data: Parquet + zstd (what the
+    # reference library produces via parquet-mr). Gives BOTH baselines the
+    # north_rule compares against: compressed size (ours must be <=) and
+    # single-node write throughput (ours should match or beat).
     with tempfile.TemporaryDirectory() as d:
         out = f"{d}/ref"
+        t0 = time.time()
         corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
+        extra["parquet_zstd_write_sec"] = round(time.time() - t0, 3)
+        extra["parquet_zstd_write_GBps"] = round(
+            content_bytes / 1e9 / extra["parquet_zstd_write_sec"], 4
+        )
         pq_bytes = sum(
             os.path.getsize(os.path.join(out, f))
             for f in os.listdir(out)

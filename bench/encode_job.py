@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName(f"encode_scaling_{args.cpus}")
         .config("spark.sql.shuffle.partitions", str(max(args.cpus, 8)))
@@ -37,8 +37,15 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "40g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Shuffle to tmpfs when present: a cluster node shuffles to local NVMe;
+    # this sandbox's overlay disk would otherwise put a serial disk in the
+    # middle of the measured pipeline.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-graft-tmp"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import parquet_extra_spark as pes
 
@@ -65,6 +72,10 @@ def main() -> None:
         chunk_rows=chunk_rows,
         n_buckets=128,
         n_salts=2,
+        # 8 tasks per slot: the 256 (bucket,salt) units hash unevenly into
+        # partitions (Poisson), so a finer task grain lets the scheduler
+        # absorb the tail — worth it here where units are plentiful
+        num_partitions=args.cpus * 8,
     )
 
     # warm-up (python workers, JIT, page cache)

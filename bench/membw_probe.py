@@ -1,0 +1,83 @@
+"""Memory-bandwidth saturation probe (scaling-evidence context).
+
+Measures 8->32-process scaling efficiency for three workload classes on
+this machine, no Spark involved:
+
+  cpu   — L1-resident integer ALU loop (scales with cores)
+  zstd  — zstd level-3 over an L3-sized semi-compressible buffer
+  mem   — pure DRAM streaming (sum + scale over 64 MB)
+
+A single VM shares one memory controller across all cores; when the
+`mem` row collapses while `cpu` stays near 1.0, wall-clock scaling of a
+streaming workload (like columnar encode) past the saturation point
+measures the memory bus, not the engine. Recorded alongside
+BENCH/BASELINE.md so the 2-vs-8 level choice is auditable.
+
+Usage: python bench/membw_probe.py  -> one JSON line
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import time
+
+
+def cpu_work(args):
+    import numpy as np
+
+    _, reps = args
+    x = np.arange(20000, dtype=np.int64)
+    t0 = time.time()
+    acc = 0
+    for _ in range(reps):
+        acc += int((x * 2654435761 % 1000003).sum())
+    return time.time() - t0
+
+
+def zstd_work(args):
+    import pyarrow as pa
+
+    n, reps = args
+    z = pa.Codec("zstd", compression_level=3)
+    blob = b"".join(
+        hashlib.sha256(str(i).encode()).hexdigest().encode() * 3 for i in range(20000)
+    )
+    t0 = time.time()
+    for _ in range(reps):
+        z.compress(blob, asbytes=True)
+    return time.time() - t0
+
+
+def mem_work(args):
+    import numpy as np
+
+    n, reps = args
+    x = np.random.default_rng(n).integers(0, 255, size=64 * 1024 * 1024 // 8, dtype=np.int64)
+    t0 = time.time()
+    acc = 0
+    for _ in range(reps):
+        acc += int(x.sum())
+        y = x * 3
+        acc += int(y[0])
+    return time.time() - t0
+
+
+def main() -> None:
+    out = {}
+    for name, fn, reps in (("cpu", cpu_work, 2000), ("zstd", zstd_work, 30), ("mem", mem_work, 20)):
+        rates = {}
+        for n_proc in (8, 32):
+            with mp.Pool(n_proc) as pool:
+                pool.map(fn, [(i, 2) for i in range(n_proc)])  # warm
+                t0 = time.time()
+                pool.map(fn, [(i, reps) for i in range(n_proc)])
+                wall = time.time() - t0
+            rates[n_proc] = n_proc * reps / wall
+        out[name] = round(rates[32] / rates[8] / 4.0, 3)
+    print(json.dumps({"metric": "membw_scaling_efficiency_8_to_32", "per_class": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,9 @@ def _sort_table(table: pa.Table, sort_cols: list[str]) -> pa.Table:
     the chunk is by first-appearance code, not lexicographic — irrelevant
     for compression and stats. ~10x cheaper than JVM row-wise sorting
     because the wide content column moves once, columnar, instead of per
-    comparison-driven row copy."""
+    comparison-driven row copy. Only the (narrow) key columns are combined
+    here; non-key columns stay chunked until the final ``take``, so wide
+    text moves through memory exactly once per chunk."""
     import numpy as np
 
     keys = []
@@ -163,7 +165,10 @@ def _make_encode_fn(
             bucket, salt = cur_key
             seq = seqs.get(cur_key, 0)
             seqs[cur_key] = seq + 1
-            table = pa.concat_tables(buf).combine_chunks()
+            # zero-copy concat; per-column combining happens lazily — either
+            # in _sort_table's take (one move for wide columns) or in
+            # _chunk_rows_batch's _as_array per column
+            table = pa.concat_tables(buf)
             buf, buf_rows = [], 0
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
@@ -264,7 +269,11 @@ def encode(
     partition_cols = partition_cols or []
     bucket_expr, salt_expr = unit_exprs(columns, partition_cols, n_buckets, n_salts, salt_col)
     work = df.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # 4 tasks per core: (bucket, salt) units hash unevenly (a mega-repo's
+    # units are ~10x an average unit), so 1 task/core leaves a straggler
+    # tail that caps scaling efficiency; finer tasks let the scheduler
+    # re-balance — the same tasks-per-slot rule used on real clusters.
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 4
     work = work.repartition(n_part, _BUCKET, _SALT)
     # JVM sort on the two int unit keys ONLY — just enough for group
     # contiguity. Value ordering for RLE happens columnar *inside each

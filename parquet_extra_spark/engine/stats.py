@@ -132,11 +132,38 @@ def _dict_facts(arr: pa.Array, dtype: str) -> tuple[int, int, int]:
     return len(dict_arr), n_runs, dict_bytes
 
 
+_DICT_SAMPLE_ROWS = 2048
+_WIDE_STR_BYTES = 128
+
+
 def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
     n = len(arr)
+    raw = raw_size(arr, dtype)
     if dtype.startswith("array<"):
         dict_n, n_runs, dict_bytes = 0, n, 0
         mn, mx = None, None
+    elif (
+        dtype in typemap.STRLIKE_DTYPES
+        and n > _DICT_SAMPLE_ROWS
+        and raw >= n * _WIDE_STR_BYTES
+    ):
+        # Wide string columns (long text): hashing every byte just to learn
+        # cardinality/run structure costs a full memory pass per chunk. A
+        # contiguous prefix slice preserves run structure locally; the
+        # distinct/run counts are rate-extrapolated. distinct_est is already
+        # an estimate by contract; selection only needs coarse cardinality
+        # bands (engine/stats._candidates), and min/max for pushdown are
+        # still computed exactly below.
+        sample = arr.slice(0, _DICT_SAMPLE_ROWS)
+        s_dict, s_runs, s_dict_bytes = _dict_facts(sample, dtype)
+        scale = n / _DICT_SAMPLE_ROWS
+        if s_dict > 0.5 * _DICT_SAMPLE_ROWS:
+            dict_n = min(n, int(s_dict * scale))  # high-card: rate extrapolation
+        else:
+            dict_n = s_dict  # low-card: the sample saw (nearly) all values
+        n_runs = min(n, max(1, int(s_runs * scale)))
+        dict_bytes = int(s_dict_bytes * (dict_n / max(s_dict, 1)))
+        mn, mx = _minmax_strings(arr, dtype)
     else:
         dict_n, n_runs, dict_bytes = _dict_facts(arr, dtype)
         mn, mx = _minmax_strings(arr, dtype)
@@ -145,7 +172,7 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
         null_count=arr.null_count,
         distinct=dict_n,
         n_runs=n_runs,
-        raw_bytes=raw_size(arr, dtype),
+        raw_bytes=raw,
         min_val=mn,
         max_val=mx,
         dict_bytes=dict_bytes,
