@@ -29,6 +29,10 @@ _DOC_ENCODE = dict(
     chunk_rows=4096,
     n_buckets=4,
     n_salts=2,
+    # documents is a small table (50..5000 rows across SFs): 8 partitions
+    # = one per (bucket, salt) unit; the engine default (4 tasks/core) is
+    # sized for corpus-scale inputs and would pay 128 near-empty tasks here
+    num_partitions=8,
 )
 
 
