@@ -169,6 +169,83 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.brute_force_topk(emb, q, k=20)
 
 
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining quality heuristics (length/punct/stopword ratios)."""
+    return ops.quality_scores(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 5-gram Jaccard >= 0.3 (oracle baseline of the
+    LSH-blocked scale path ngram_jaccard_pairs)."""
+    return ops.ngram_jaccard_exact(_docs(spark, sf_dir), shingle=5, threshold=0.3)
+
+
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding cosine >= 0.3 (oracle baseline of the
+    LSH-bucketed scale path cosine_pairs_lsh)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ops.cosine_pairs_exact(emb, threshold=0.3)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup over the events table (hypertable-rollup style)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine round trip over events: timestamp/double/bigint/string
+    codecs through encode->decode, projected to hash-stable columns."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chunks = pes.encode(
+        ev, partition_cols=["event_type"], sort_cols=["ts"],
+        chunk_rows=4096, n_buckets=4, n_salts=2, num_partitions=8,
+    )
+    dec = pes.decode(chunks)
+    return dec.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value_r"),
+        "props",
+    )
+
+
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine round trip over embeddings: array<float> list codec through
+    encode->decode, vectors projected to an exact sum-of-squares."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = pes.encode(
+        emb, chunk_rows=4096, n_buckets=4, n_salts=2, num_partitions=8
+    )
+    dec = pes.decode(chunks)
+    return dec.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(
+                F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            3,
+        ).alias("sumsq"),
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clusters (rows-only: xxhash64 has no DuckDB
     analogue, so the values cannot be reproduced in SQL)."""
@@ -196,7 +273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "events_hourly": q_events_hourly,
+        "roundtrip_events": q_roundtrip_events,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -228,6 +311,41 @@ def _lang_id_oracle() -> str:
         f"SELECT doc_id AS id, {pred} AS lang_pred, round({best}, 6) AS lang_score"
         " FROM documents"
     )
+
+
+def _quality_oracle() -> str:
+    from parquet_extra_spark.operators.textstats import LANG_STOPWORDS
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    )
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+    n_tok = f"len({toks})"
+    n_chars = "length(text)"
+    punct = f"(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / greatest({n_chars}, 1))"
+    stop_hits = f"len(list_filter({toks}, t -> list_contains({stop_arr}, lower(t))))"
+    stop_ratio = f"({stop_hits}::DOUBLE / greatest({n_tok}, 1))"
+    quality = (
+        f"least(1.0, 0.4 * least({n_tok} / 50.0, 1.0)"
+        f" + 0.3 * (1.0 - least({punct} * 4, 1.0))"
+        f" + 0.3 * least({stop_ratio} * 5, 1.0))"
+    )
+    return (
+        f"SELECT doc_id AS id, {n_chars}::BIGINT AS n_chars,"
+        f" {n_tok}::BIGINT AS n_tokens,"
+        f" round(CASE WHEN {n_tok} > 0 THEN {n_chars}::DOUBLE / {n_tok} ELSE 0.0 END, 6)"
+        " AS mean_token_len,"
+        f" round({punct}, 6) AS punct_ratio,"
+        f" round({stop_ratio}, 6) AS stopword_ratio,"
+        f" round({quality}, 6) AS quality"
+        " FROM documents"
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct([substring(text, i, 5)"
+    " for i in range(1, greatest(length(text) - 4, 1) + 1)])"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -301,6 +419,40 @@ def oracle_sql() -> dict[str, str]:
             " length(text)::BIGINT AS n_chars FROM documents"
         ),
         "lang_id": _lang_id_oracle(),
+        "quality_scores": _quality_oracle(),
+        "ngram_jaccard": (
+            f"WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents)"
+            " SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   len(list_intersect(a.s, b.s))::DOUBLE /"
+            "   len(list_distinct(list_concat(a.s, b.s))) AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            " WHERE j >= 0.3"
+        ),
+        "cosine_near_dups": (
+            "SELECT id_a, id_b, c AS cosine FROM ("
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "  round(list_cosine_similarity(a.embedding::DOUBLE[],"
+            "   b.embedding::DOUBLE[]), 6) AS c"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)"
+            " WHERE c >= 0.3"
+        ),
+        "events_hourly": (
+            "SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,"
+            " event_type, count(*) AS n_events,"
+            " count(distinct user_id) AS n_users,"
+            " round(sum(value), 4) AS sum_value"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "roundtrip_events": (
+            "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,"
+            " round(value, 6) AS value_r, props FROM events"
+        ),
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label,"
+            " round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 3)"
+            " AS sumsq FROM embeddings"
+        ),
         "ann_topk": (
             "SELECT vec_id AS id,"
             " round(list_cosine_similarity(embedding::DOUBLE[],"

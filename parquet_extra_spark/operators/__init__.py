@@ -5,9 +5,15 @@ from .dedup import (
     minhash_lsh_dedup,
     simhash,
     simhash_dedup,
+    ngram_jaccard_exact,
     ngram_jaccard_pairs,
 )
-from .similarity import brute_force_topk, cosine_pairs_lsh, embedding_near_dups
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
+    embedding_near_dups,
+)
 from .textstats import (
     token_counts,
     quality_scores,
@@ -22,8 +28,10 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash",
     "simhash_dedup",
+    "ngram_jaccard_exact",
     "ngram_jaccard_pairs",
     "brute_force_topk",
+    "cosine_pairs_exact",
     "cosine_pairs_lsh",
     "embedding_near_dups",
     "token_counts",

@@ -224,6 +224,50 @@ def simhash_dedup(
     )
 
 
+def ngram_jaccard_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+    threshold: float = 0.3,
+    group_col: str | None = None,
+) -> DataFrame:
+    """-> (id_a, id_b, jaccard): EXACT all-pairs n-gram Jaccard, optionally
+    blocked on ``group_col`` to bound the quadratic join. The oracle
+    baseline for ngram_jaccard_pairs: at corpus scale you block (group) or
+    LSH; this exact variant is what those approximations are judged
+    against. Shuffle = one self-join on the blocking key."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        _shingles(F.col(text_col), shingle).alias("sh"),
+    )
+    left = sh.select(
+        F.col("id").alias("id_a"),
+        *( [F.col("grp")] if group_col else [] ),
+        F.col("sh").alias("sh_a"),
+    )
+    right = sh.select(
+        F.col("id").alias("id_b"),
+        *( [F.col("grp")] if group_col else [] ),
+        F.col("sh").alias("sh_b"),
+    )
+    on = [F.col("id_a") < F.col("id_b")]
+    if group_col:
+        joined = left.join(right, "grp").filter(*on)
+    else:
+        joined = left.crossJoin(right).filter(*on)
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -58,6 +58,29 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id_a, id_b, cosine): EXACT all-pairs cosine above threshold.
+    The oracle baseline for cosine_pairs_lsh / embedding_near_dups — at
+    corpus scale the LSH-bucketed variant replaces the quadratic join;
+    this one is for verification and small reference sets. The self
+    cross-join broadcasts the smaller projected side (id + vector only)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    left = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        left.crossJoin(F.broadcast(right))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
