@@ -13,7 +13,13 @@ from .engine.encoder import encode
 from .engine.decoder import decode, discover_schema, ChunkDecodeError
 from .engine.verify import verify_roundtrip, roundtrip_ok
 from .engine.projection import project, project_chunks
-from .engine.pushdown import chunk_range_filter, filter_decode, pushdown_stats
+from .engine.pushdown import (
+    chunk_range_filter,
+    chunk_null_filter,
+    filter_decode,
+    filter_decode_null,
+    pushdown_stats,
+)
 from .engine.checkpoint import encode_to, read_chunks, load_manifest, metrics
 from .functions.inference import column_profile, infer_repetition
 from .engine.schema import (
@@ -35,7 +41,9 @@ __all__ = [
     "project",
     "project_chunks",
     "chunk_range_filter",
+    "chunk_null_filter",
     "filter_decode",
+    "filter_decode_null",
     "pushdown_stats",
     "encode_to",
     "read_chunks",

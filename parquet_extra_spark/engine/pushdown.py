@@ -69,6 +69,42 @@ def chunk_range_filter(
     return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
 
 
+def chunk_null_filter(chunks: DataFrame, column: str, want_null: bool) -> DataFrame:
+    """Null-ness pushdown — the encoded-chunk analogue of the reference's
+    null-literal predicates (Predicate.scala:120-127 `eq(col, null)` =
+    is-null, tested PredicateTest.scala:76-100). Uses the per-chunk
+    null_count stat: is-null skips chunks with zero nulls; is-not-null
+    skips chunks that are entirely null (null_count == n_values)."""
+    stat_rows = chunks.filter(F.col("column") == column)
+    if want_null:
+        keep = F.col("null_count") > 0
+    else:
+        keep = F.col("null_count") < F.col("n_values")
+    surviving = stat_rows.filter(keep).select("chunk_id")
+    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+
+
+def filter_decode_null(
+    chunks: DataFrame,
+    column: str,
+    want_null: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase null-predicate decode: chunk null_count skip (coarse) +
+    exact isNull/isNotNull re-check after decode (O16 dual contract)."""
+    schema_cols = discover_schema(chunks)
+    if column not in {c for c, _, _ in schema_cols}:
+        raise ValueError(f"unknown column {column!r}")
+    pruned = chunk_null_filter(chunks, column, want_null)
+    need = columns if columns is None else sorted(set(columns) | {column})
+    out = decode(pruned, columns=need, schema_cols=schema_cols)
+    cond = F.col(column).isNull() if want_null else F.col(column).isNotNull()
+    out = out.filter(cond)
+    if columns is not None and column not in columns:
+        out = out.select(*columns)
+    return out
+
+
 def filter_decode(
     chunks: DataFrame,
     column: str,

@@ -111,6 +111,24 @@ def test_pushdown_prunes_and_matches(spark, corpus, corpus_chunks):
     assert st["chunks_skipped"] == st["chunks_total"]
 
 
+def test_null_pushdown_skips_and_matches(spark):
+    # mixed chunks: one fully non-null lang region, one with nulls
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.concat(F.lit("v"), F.col("id"))).alias("val"),
+        (F.col("id") < 2000).cast("string").alias("grp"),
+    )
+    chunks = pes.encode(df, partition_cols=["grp"], chunk_rows=512, n_buckets=2, n_salts=1).cache()
+    res_null = pes.filter_decode_null(chunks, "val", want_null=True)
+    assert pes.roundtrip_ok(df.filter(F.col("val").isNull()), res_null)
+    res_notnull = pes.filter_decode_null(chunks, "val", want_null=False)
+    assert pes.roundtrip_ok(df.filter(F.col("val").isNotNull()), res_notnull)
+    # a column with no nulls anywhere: is-null must prune every chunk
+    pruned = pes.chunk_null_filter(chunks, "grp", want_null=True)
+    assert pruned.count() == 0
+    chunks.unpersist()
+
+
 def test_pushdown_exactness_vs_plain_filter(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     chunks = pes.encode(li, sort_cols=["l_quantity"], chunk_rows=1024, n_buckets=4, n_salts=2)
