@@ -9,7 +9,7 @@ Core API:
     infer_stats(df)                                 -> per-column stats (O21)
 """
 
-from .engine.encoder import encode
+from .engine.encoder import encode, recommend_salts
 from .engine.decoder import decode, discover_schema, ChunkDecodeError
 from .engine.verify import verify_roundtrip, roundtrip_ok
 from .engine.projection import project, project_chunks
@@ -33,6 +33,7 @@ from .plans import explain_summary, pushed_filters, read_schema
 
 __all__ = [
     "encode",
+    "recommend_salts",
     "decode",
     "discover_schema",
     "ChunkDecodeError",

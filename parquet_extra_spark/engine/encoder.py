@@ -235,6 +235,38 @@ def unit_exprs(
     return bucket_expr, salt_expr
 
 
+def recommend_salts(
+    df: DataFrame,
+    partition_cols: list[str],
+    n_buckets: int = 64,
+    target_unit_share: float = 0.01,
+    max_salts: int = 64,
+) -> int:
+    """Stats-driven salt count for skewed clustering keys (north_rule:
+    'salting for skewed mega-repos', skew detected from the stats pass —
+    the same one-aggregation shape as the O21 inference scan).
+
+    One groupBy over the clustering key finds the heaviest key's row
+    share; n_salts is sized so that (heaviest key / n_salts) is at most
+    ``target_unit_share`` of the table — i.e. no single work unit can
+    serialize more than ~1% of the job on one task. Returns a power of
+    two in [1, max_salts].
+    """
+    top = (
+        df.groupBy(*partition_cols)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .collect()[0]
+    )
+    if not top["n"]:
+        return 1
+    share = top["mx"] / top["n"]
+    salts = 1
+    while share / salts > target_unit_share and salts < max_salts:
+        salts *= 2
+    return salts
+
+
 def encode(
     df: DataFrame,
     partition_cols: list[str] | None = None,

@@ -172,6 +172,50 @@ def test_checkpoint_resume_exactly_once(spark, corpus, tmp_path):
     assert m.agg(F.sum("n_chunks")).collect()[0][0] >= r1["units_total"]
 
 
+def test_recommend_salts_scales_with_skew(spark, corpus, sf_dir):
+    # the synthetic corpus has a ~30%-of-rows mega-repo: one salt cannot
+    # bound any unit to 1% of the table, so salting must kick in hard
+    s = pes.recommend_salts(corpus, ["repo", "lang"], target_unit_share=0.01)
+    assert s >= 4
+    # a balanced key needs no salting
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert pes.recommend_salts(docs, ["doc_id"], target_unit_share=0.01) == 1
+    # recommendation feeds encode and the round trip stays exact
+    chunks = pes.encode(corpus, partition_cols=["repo", "lang"],
+                        chunk_rows=2048, n_buckets=4, n_salts=s)
+    assert pes.roundtrip_ok(corpus, pes.decode(chunks))
+
+
+def test_iceberg_adapter_parquet_fallback(spark, sf_dir):
+    from parquet_extra_spark.sources import iceberg_available, read_corpus
+
+    df = read_corpus(spark, f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    assert df.columns == ["doc_id", "lang"]
+    assert df.count() > 0
+    if not iceberg_available(spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="snapshot pinning"):
+            read_corpus(spark, f"{sf_dir}/documents.parquet", snapshot_id=1)
+
+
+def test_checkpoint_orphans_invisible_after_crash(spark, corpus, tmp_path):
+    """Crash between chunk write and manifest commit: orphan chunk files
+    must be invisible to read_chunks, and resume must re-encode those
+    units (exactly-once via the manifest commit point)."""
+    out = str(tmp_path / "crash")
+    kw = dict(partition_cols=["repo", "lang"], chunk_rows=2048, n_buckets=4, n_salts=2)
+    # simulate the crash: write chunk data under a run_id, no manifest row
+    orphan = pes.encode(corpus, **kw).withColumn("run_id", F.lit("deadrun"))
+    orphan.write.mode("append").partitionBy("run_id").parquet(f"{out}/chunks")
+    assert pes.read_chunks(spark, out).count() == 0  # orphans hidden
+    # resume: a fresh run encodes every unit (none were committed)
+    r = pes.encode_to(corpus, out_dir=out, **kw)
+    assert r["units_total"] > 0
+    committed = pes.read_chunks(spark, out)
+    assert pes.roundtrip_ok(corpus, pes.decode(committed))
+
+
 def test_decode_error_context(spark, corpus_chunks):
     bad = corpus_chunks.withColumn(
         "payload",
