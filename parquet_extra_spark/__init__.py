@@ -15,8 +15,10 @@ from .engine.verify import verify_roundtrip, roundtrip_ok
 from .engine.projection import project, project_chunks
 from .engine.pushdown import (
     chunk_range_filter,
+    chunk_isin_filter,
     chunk_null_filter,
     filter_decode,
+    filter_decode_isin,
     filter_decode_null,
     pushdown_stats,
 )
@@ -42,8 +44,10 @@ __all__ = [
     "project",
     "project_chunks",
     "chunk_range_filter",
+    "chunk_isin_filter",
     "chunk_null_filter",
     "filter_decode",
+    "filter_decode_isin",
     "filter_decode_null",
     "pushdown_stats",
     "encode_to",

@@ -69,6 +69,51 @@ def chunk_range_filter(
     return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
 
 
+def chunk_isin_filter(
+    chunks: DataFrame, column: str, values: list, dtype: str | None = None
+) -> DataFrame:
+    """Membership pushdown (the analogue of the reference's equality
+    predicates, Predicate.scala:31-38 eq/notEq — an isin is an OR of
+    equalities): keep chunks whose [min,max] interval contains at least
+    one requested value. NULL bounds mean unbounded (kept)."""
+    if not values:
+        return chunks.limit(0)
+    if dtype is None:
+        dtype = dict((c, d) for c, _, d in discover_schema(chunks)).get(column)
+        if dtype is None:
+            raise ValueError(f"unknown column {column!r}")
+    stat_rows = chunks.filter(F.col("column") == column)
+    mn = _typed_stat(F.col("min_val"), dtype)
+    mx = _typed_stat(F.col("max_val"), dtype)
+    any_in = None
+    for v in values:
+        hit = (mn.isNull() | (mn <= F.lit(v))) & (mx.isNull() | (mx >= F.lit(v)))
+        any_in = hit if any_in is None else (any_in | hit)
+    surviving = stat_rows.filter(any_in).select("chunk_id")
+    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+
+
+def filter_decode_isin(
+    chunks: DataFrame,
+    column: str,
+    values: list,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase membership decode: chunk min/max skip + exact isin
+    re-check after decode (O16 dual contract)."""
+    schema_cols = discover_schema(chunks)
+    schema = {c: d for c, _, d in schema_cols}
+    if column not in schema:
+        raise ValueError(f"unknown column {column!r}")
+    pruned = chunk_isin_filter(chunks, column, values, schema[column])
+    need = columns if columns is None else sorted(set(columns) | {column})
+    out = decode(pruned, columns=need, schema_cols=schema_cols)
+    out = out.filter(F.col(column).isin(values))
+    if columns is not None and column not in columns:
+        out = out.select(*columns)
+    return out
+
+
 def chunk_null_filter(chunks: DataFrame, column: str, want_null: bool) -> DataFrame:
     """Null-ness pushdown — the encoded-chunk analogue of the reference's
     null-literal predicates (Predicate.scala:120-127 `eq(col, null)` =

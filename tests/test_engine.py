@@ -172,6 +172,27 @@ def test_checkpoint_resume_exactly_once(spark, corpus, tmp_path):
     assert m.agg(F.sum("n_chunks")).collect()[0][0] >= r1["units_total"]
 
 
+def test_isin_pushdown_prunes_and_matches(spark, corpus, corpus_chunks):
+    res = pes.filter_decode_isin(corpus_chunks, "lang", ["py", "go"])
+    expected = corpus.filter(F.col("lang").isin(["py", "go"]))
+    assert pes.roundtrip_ok(expected, res)
+    # empty value list -> empty result, no decode
+    assert pes.chunk_isin_filter(corpus_chunks, "lang", []).count() == 0
+
+
+def test_chunk_table_projection_pushes_to_parquet_scan(spark, corpus, tmp_path):
+    """Persisted chunk table: decoding a projection must push the
+    column-membership filter into the parquet scan of the chunk table
+    (the columnar trick — unrequested columns' payloads never leave disk)."""
+    path = str(tmp_path / "chunks.parquet")
+    pes.encode(corpus, partition_cols=["repo", "lang"], chunk_rows=2048,
+               n_buckets=4, n_salts=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    projected = stored.filter(F.col("column").isin(["repo", "lang"]))
+    pushed = pes.pushed_filters(projected)
+    assert any("column" in p and ("In" in p or "EqualTo" in p) for p in pushed), pushed
+
+
 def test_recommend_salts_scales_with_skew(spark, corpus, sf_dir):
     # the synthetic corpus has a ~30%-of-rows mega-repo: one salt cannot
     # bound any unit to 1% of the table, so salting must kick in hard
