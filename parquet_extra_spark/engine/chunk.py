@@ -69,8 +69,13 @@ PART_SEP = "\x1f"  # joins partition-column values into part_key
 NULL_TOKEN = "\x00"  # stands in for NULL partition values
 
 
-def chunk_uid(part_key: str, salt: int, seq: int) -> int:
+def chunk_uid(part_key: str, salt: int, seq: int, namespace: str = "") -> int:
     """Deterministic 63-bit chunk id — collision-free in practice and
-    reproducible across runs (required for checkpoint resume)."""
-    h = hashlib.sha1(f"{part_key}|{salt}|{seq}".encode()).digest()
+    reproducible across runs (required for checkpoint resume).
+
+    ``namespace`` isolates ids of independent encode() calls whose chunk
+    tables will be unioned (e.g. schema versions): within one encode (or
+    the checkpoint layer, which never re-encodes a committed unit) ids
+    are unique without it."""
+    h = hashlib.sha1(f"{namespace}|{part_key}|{salt}|{seq}".encode()).digest()
     return int.from_bytes(h[:8], "little") >> 1

@@ -71,6 +71,13 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
                 raise ChunkDecodeError(
                     f"decode failed: part_key={pk!r} chunk_id={cid} column={col!r} codec={codec}: {e}"
                 ) from e
+            if col in by_col:
+                raise ChunkDecodeError(
+                    f"duplicate chunk-table rows: part_key={pk!r} chunk_id={cid}"
+                    f" column={col!r} — chunk_id collision (unioned chunk tables"
+                    " from independent encode() calls need distinct"
+                    " uid_namespace values)"
+                )
             if len(arr) != n_values:
                 raise ChunkDecodeError(
                     f"length mismatch: part_key={pk!r} chunk_id={cid} column={col!r}: "

@@ -93,6 +93,7 @@ def _chunk_rows_batch(
     forced_codec: str | None,
     memo: dict,
     sort_cols: list[str] | None = None,
+    uid_namespace: str = "",
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
 
@@ -101,7 +102,7 @@ def _chunk_rows_batch(
     distributions, so the (trial-encode based) selection only re-runs every
     _RESELECT_EVERY chunks — the same amortization parquet writers use for
     their dictionary-fallback heuristics."""
-    cid = chunk_uid(part_key, salt, seq)
+    cid = chunk_uid(part_key, salt, seq, uid_namespace)
     if sort_cols:
         table = _sort_table(table, sort_cols)
     rows = {name: [] for name in CHUNK_ARROW_SCHEMA.names}
@@ -148,6 +149,7 @@ def _make_encode_fn(
     chunk_rows: int,
     codec: str | None,
     sort_cols: list[str] | None = None,
+    uid_namespace: str = "",
 ):
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -172,7 +174,7 @@ def _make_encode_fn(
             buf, buf_rows = [], 0
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
-                sort_cols=sort_cols,
+                sort_cols=sort_cols, uid_namespace=uid_namespace,
             )
 
         for batch in batches:
@@ -277,6 +279,7 @@ def encode(
     salt_col: str | None = None,
     codec: str | None = None,
     num_partitions: int | None = None,
+    uid_namespace: str = "",
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
@@ -287,6 +290,9 @@ def encode(
     sort_cols: additional within-partition sort to expose runs to RLE.
     codec: force one codec (tests); default statistics-driven per
         chunk-column (engine/stats.py).
+    uid_namespace: isolates chunk ids of independent encode() calls whose
+        chunk tables will be unioned (schema versions, multi-source
+        merges); the decoder fails fast on colliding ids.
     """
     from .schema import validate_columns
 
@@ -315,5 +321,6 @@ def encode(
     work = work.sortWithinPartitions(_BUCKET, _SALT)
 
     chunk_sort = list(partition_cols) + list(sort_cols or [])
-    fn = _make_encode_fn(columns, dtypes, chunk_rows, codec, sort_cols=chunk_sort or None)
+    fn = _make_encode_fn(columns, dtypes, chunk_rows, codec,
+                         sort_cols=chunk_sort or None, uid_namespace=uid_namespace)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)
