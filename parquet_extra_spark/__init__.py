@@ -6,7 +6,7 @@ Core API:
     encode(df, partition_cols=..., sort_cols=...)   -> chunk-table DataFrame
     decode(chunks, columns=...)                     -> data DataFrame
     verify_roundtrip(src, decoded, key_cols)        -> correctness report
-    infer_stats(df)                                 -> per-column stats (O21)
+    column_profile(df) / infer_repetition(df)       -> per-column stats (O21)
 """
 
 from .engine.encoder import encode, recommend_salts
