@@ -40,16 +40,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pes.encode(_docs(spark, sf_dir), **_DOC_ENCODE)
+def _doc_chunks(spark: SparkSession, sf_dir: str):
+    """-> (cached chunk table, schema_cols). The cache stops the lazy
+    encode pipeline re-running per decode action (Spark's CacheManager
+    also shares it across queries on the same sf_dir within a session);
+    schema_cols comes from the source's parquet footer so decode never
+    pays a discover_schema action; colocated decode is then valid by
+    construction (encode output partitioning is preserved by cache)."""
+    docs = _docs(spark, sf_dir)
+    chunks = pes.encode(docs, **_DOC_ENCODE).cache()
+    return chunks, pes.schema_from_struct(docs.schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001: encode -> decode -> verify."""
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
-    chunks = pes.encode(docs, **_DOC_ENCODE).cache()
-    decoded = pes.decode(chunks)
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
+    decoded = pes.decode(chunks, schema_cols=schema_cols, colocated=True)
     report = pes.verify_roundtrip(docs, decoded)
     sizes = chunks.agg(
         F.sum("raw_bytes").alias("raw_bytes"),
@@ -63,24 +71,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-O6/O19-O20: decode only requested columns from the chunk table."""
-    return pes.decode(_doc_chunks(spark, sf_dir), columns=["doc_id", "lang"])
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
+    return pes.decode(
+        chunks, columns=["doc_id", "lang"], schema_cols=schema_cols, colocated=True
+    )
 
 
 def q_roundtrip_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17+O18: full encode->decode identity over every column."""
-    return pes.decode(_doc_chunks(spark, sf_dir))
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
+    return pes.decode(chunks, schema_cols=schema_cols, colocated=True)
 
 
 def q_roundtrip_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_rule invariant: sha256(content) of decoded rows."""
-    dec = pes.decode(_doc_chunks(spark, sf_dir), columns=["doc_id", "text"])
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
+    dec = pes.decode(
+        chunks, columns=["doc_id", "text"], schema_cols=schema_cols, colocated=True
+    )
     return dec.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha256"))
 
 
 def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7-O16: chunk-stats skip + exact re-check equals a plain filter."""
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
     return pes.filter_decode(
-        _doc_chunks(spark, sf_dir), "n_chars", lower=150, upper=350
+        chunks, "n_chars", lower=150, upper=350,
+        schema_cols=schema_cols, colocated=True,
+    )
+
+
+def q_filter_pushdown_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7-O10 composed: cross-column AND/OR/NOT/!= predicate tree pushed to
+    chunk stats + exact recheck (Predicate.scala:91-95,163-171 algebra)."""
+    chunks, schema_cols = _doc_chunks(spark, sf_dir)
+    pred = (
+        (pes.P.lt("n_chars", 300) & pes.P.eq("lang", "en"))
+        | (pes.P.ne("source", "src0") & pes.P.gt("n_chars", 520))
+        | ~pes.P.isin("lang", ["en", "de", "es", "fr", "zh"])
+    )
+    return pes.filter_decode_pred(
+        chunks, pred, schema_cols=schema_cols, colocated=True
     )
 
 
@@ -96,7 +127,7 @@ def q_infer_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22/O25: footer-style schema read-back from the chunk table."""
-    cols = pes.discover_schema(_doc_chunks(spark, sf_dir))
+    cols = pes.discover_schema(_doc_chunks(spark, sf_dir)[0])
     return spark.createDataFrame(cols, "column string, col_idx int, dtype string")
 
 
@@ -104,7 +135,7 @@ def q_codec_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O27-adjacent: per-column codec/size metrics (rows-only check —
     codec choice is an engine-internal decision with no SQL analogue)."""
     return (
-        _doc_chunks(spark, sf_dir)
+        _doc_chunks(spark, sf_dir)[0]
         .groupBy("column", "codec")
         .agg(
             F.count("*").alias("n_chunks"),
@@ -246,15 +277,104 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nested fixture from the orders table: per customer an
+    array<struct> of their orders plus a stats struct — the shape of the
+    reference's User record (schema.avsc:12-46 accounts/address)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("key"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("price"),
+                )
+            )
+        ).alias("orders"),
+        F.struct(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+        ).alias("stats"),
+    )
+
+
+_NESTED_ENCODE = dict(chunk_rows=4096, n_buckets=4, n_salts=2, num_partitions=8)
+
+
+def q_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested engine round trip: struct + array<struct> shredded to leaf
+    chunks (engine/nested.py, Projection.scala:53-107 semantics) and
+    reassembled losslessly; output flattened for the SQL oracle."""
+    nested = _nested_orders(spark, sf_dir)
+    chunks = pes.encode_nested(nested, **_NESTED_ENCODE)
+    out = pes.decode_nested(chunks, nested.schema, colocated=True)
+    return out.select(
+        "o_custkey",
+        F.col("stats.n_orders").alias("n_orders"),
+        F.explode("orders").alias("o"),
+    ).select(
+        "o_custkey",
+        "n_orders",
+        F.col("o.key").alias("key"),
+        F.col("o.status").alias("status"),
+        F.round("o.price", 2).alias("price_r"),
+    )
+
+
+def q_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf-level projection through nesting: only the stats.n_orders leaf
+    chunks are decoded (dotted-path pruning, O3/O5)."""
+    nested = _nested_orders(spark, sf_dir)
+    chunks = pes.encode_nested(nested, **_NESTED_ENCODE)
+    return pes.decode_nested(
+        chunks, nested.schema, paths=["o_custkey", "stats.n_orders"],
+        colocated=True,
+    )
+
+
+def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine round trip over exact decimals: decimal(p,s) rides the
+    unscaled-int64 codec lane (FOR/delta/dict/RLE) and decodes
+    bit-identical — values chosen exactly representable so the
+    double->decimal cast is deterministic across engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+        (F.col("l_linenumber").cast("decimal(10,3)") / F.lit(8))
+        .cast("decimal(10,3)")
+        .alias("frac_dec"),
+    )
+    chunks = pes.encode(
+        d, sort_cols=["l_orderkey"], chunk_rows=8192, n_buckets=4, n_salts=2,
+        num_partitions=8,
+    )
+    dec = pes.decode(
+        chunks, schema_cols=pes.schema_from_struct(d.schema), colocated=True
+    )
+    return dec.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty_dec").cast("string").alias("qty_str"),
+        F.col("frac_dec").cast("string").alias("frac_str"),
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup clusters (rows-only: xxhash64 has no DuckDB
-    analogue, so the values cannot be reproduced in SQL)."""
-    return ops.minhash_lsh_dedup(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    """MinHash+LSH near-dup clusters, value-checked: hash_method="md5"
+    makes every signature/band/cluster reproducible in ANSI SQL (the
+    xxhash64 method remains the highest-throughput scale default)."""
+    return ops.minhash_lsh_dedup(
+        _docs(spark, sf_dir), jaccard_threshold=0.5, hash_method="md5"
+    )
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters (rows-only, same xxhash64 reason)."""
-    return ops.simhash_dedup(_docs(spark, sf_dir))
+    """SimHash near-dup clusters, value-checked via the md5 hash method
+    (60-bit fingerprints, 4x15-bit blocks)."""
+    return ops.simhash_dedup(_docs(spark, sf_dir), hash_method="md5")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -263,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_full": q_roundtrip_full,
         "roundtrip_sha": q_roundtrip_sha,
         "filter_pushdown": q_filter_pushdown,
+        "filter_pushdown_compound": q_filter_pushdown_compound,
         "column_profile": q_column_profile,
         "infer_repetition": q_infer_repetition,
         "schema_discovery": q_schema_discovery,
@@ -280,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_decimal": q_roundtrip_decimal,
+        "roundtrip_nested": q_roundtrip_nested,
+        "nested_projection": q_nested_projection,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -348,6 +472,87 @@ _SHINGLES_SQL = (
 )
 
 
+
+
+_MD5_INT = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    """SQL replica of minhash_lsh_dedup(hash_method="md5", k=32, bands=8,
+    shingle=5, jaccard_threshold=0.5) — same universal-hash params, band
+    keys, bucket cap, rep-pairing and min-id clustering."""
+    from parquet_extra_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET, _P, _hash_params,
+    )
+
+    k, bands, rows, thr = 32, 8, 4, 0.5
+    params = _hash_params(k)
+    base = _MD5_INT.format(x="x")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> ((x % {_P}) * {a} + {b}) % {_P}))"
+        for a, b in params
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || ',' || ".join(
+            f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, md5({key}) AS bhash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    jac = (
+        "len(list_intersect(a.s, b2.s))::DOUBLE /"
+        " len(list_distinct(list_concat(a.s, b2.s)))"
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (SELECT id, s, list_transform(s, x -> {base}) AS hs FROM sh),
+sig AS (SELECT id, [{sig_exprs}] AS sig FROM h),
+bands AS ({bands_sql}),
+reps AS (SELECT band, bhash, min(id) AS rep FROM bands GROUP BY 1, 2
+         HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+cands AS (SELECT DISTINCT b.id, r.rep FROM bands b
+          JOIN reps r USING (band, bhash) WHERE b.id <> r.rep),
+pairs AS (SELECT c.id, c.rep FROM cands c
+          JOIN sh a ON a.id = c.id JOIN sh b2 ON b2.id = c.rep
+          WHERE {jac} >= {thr}),
+cl AS (SELECT id, min(rep) AS cluster_id FROM pairs GROUP BY id)
+SELECT d.doc_id AS id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    """SQL replica of simhash_dedup(hash_method="md5"): 60-bit sign-sum
+    fingerprint over whitespace tokens, 4x15-bit block banding, capped
+    buckets, min-id clustering."""
+    from parquet_extra_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    base = _MD5_INT.format(x="x")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(60)
+    )
+    toks = (
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id,
+           list_transform({toks}, x -> {base}) AS hs FROM documents),
+fp AS (SELECT id, ({bit_terms})::BIGINT AS f FROM t),
+blocks AS (SELECT id, u.b AS blk, (f >> (u.b * 15)) & 32767 AS bval
+           FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u),
+reps AS (SELECT blk, bval, min(id) AS rep FROM blocks GROUP BY 1, 2
+         HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+cl AS (SELECT b.id, min(r.rep) AS cluster_id FROM blocks b
+       JOIN reps r USING (blk, bval) GROUP BY b.id)
+SELECT d.doc_id AS id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     profile_union = " UNION ALL ".join(
         f"""SELECT '{c}' AS column, 'string' AS dtype,
@@ -386,6 +591,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_pushdown": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE n_chars >= 150 AND n_chars <= 350"
+        ),
+        "filter_pushdown_compound": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE (n_chars < 300 AND lang = 'en')"
+            " OR (source <> 'src0' AND n_chars > 520)"
+            " OR NOT (lang IN ('en', 'de', 'es', 'fr', 'zh'))"
         ),
         "column_profile": profile_union,
         "infer_repetition": rep_union,
@@ -448,6 +659,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,"
             " round(value, 6) AS value_r, props FROM events"
         ),
+        "roundtrip_nested": (
+            "SELECT o_custkey,"
+            " count(*) OVER (PARTITION BY o_custkey) AS n_orders,"
+            " o_orderkey AS key, o_orderstatus AS status,"
+            " round(o_totalprice, 2) AS price_r FROM orders"
+        ),
+        "nested_projection": (
+            'SELECT o_custkey, count(*) AS "stats.n_orders"'
+            " FROM orders GROUP BY o_custkey"
+        ),
+        "roundtrip_decimal": (
+            "SELECT l_orderkey, l_linenumber,"
+            " CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_str,"
+            " CAST(CAST(CAST(l_linenumber AS DECIMAL(10,3)) / 8 AS DECIMAL(10,3))"
+            " AS VARCHAR) AS frac_str"
+            " FROM lineitem"
+        ),
         "roundtrip_embeddings": (
             "SELECT vec_id, label,"
             " round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 3)"
@@ -459,5 +687,6 @@ def oracle_sql() -> dict[str, str]:
             f" {_ANN_QUERY_SQL}), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, id LIMIT 20"
         ),
-        # minhash_dedup / simhash_dedup: rows-only (xxhash64-based)
+        "minhash_dedup": _minhash_oracle(),
+        "simhash_dedup": _simhash_oracle(),
     }

@@ -10,7 +10,7 @@ Core API:
 """
 
 from .engine.encoder import encode, recommend_salts
-from .engine.decoder import decode, discover_schema, ChunkDecodeError
+from .engine.decoder import decode, discover_schema, check_colocated, ChunkDecodeError
 from .engine.verify import verify_roundtrip, roundtrip_ok
 from .engine.projection import project, project_chunks
 from .engine.pushdown import (
@@ -22,7 +22,22 @@ from .engine.pushdown import (
     filter_decode_null,
     pushdown_stats,
 )
+from .engine.predicate import (
+    P,
+    Pred,
+    filter_decode_pred,
+    prune_chunks,
+    pushdown_stats_pred,
+)
 from .engine.checkpoint import encode_to, read_chunks, load_manifest, metrics
+from .engine.nested import (
+    shred,
+    unshred,
+    shred_schema,
+    encode_nested,
+    decode_nested,
+    project_nested,
+)
 from .functions.inference import column_profile, infer_repetition
 from .engine.schema import (
     from_json as schema_from_json,
@@ -38,6 +53,7 @@ __all__ = [
     "recommend_salts",
     "decode",
     "discover_schema",
+    "check_colocated",
     "ChunkDecodeError",
     "verify_roundtrip",
     "roundtrip_ok",
@@ -50,10 +66,21 @@ __all__ = [
     "filter_decode_isin",
     "filter_decode_null",
     "pushdown_stats",
+    "P",
+    "Pred",
+    "filter_decode_pred",
+    "prune_chunks",
+    "pushdown_stats_pred",
     "encode_to",
     "read_chunks",
     "load_manifest",
     "metrics",
+    "shred",
+    "unshred",
+    "shred_schema",
+    "encode_nested",
+    "decode_nested",
+    "project_nested",
     "column_profile",
     "infer_repetition",
     "schema_from_json",

@@ -21,7 +21,7 @@ from . import framing, packing, typemap
 
 
 def encode(arr: pa.Array, dtype: str) -> bytes:
-    if dtype not in typemap.INTLIKE_DTYPES:
+    if not typemap.is_intlike(dtype):
         raise TypeError(f"for codec requires int-like dtype, got {dtype}")
     n = len(arr)
     vals, mask = typemap.to_int64_values(arr, dtype)

@@ -1,4 +1,4 @@
-"""List codec for array<bigint|float|double> columns (repeated fields).
+"""List codec for array<primitive> columns (repeated fields).
 
 Preserves the reference's repetition semantics exactly — null list vs
 empty list are distinct, mirroring required/optional/repeated enforcement
@@ -21,8 +21,11 @@ from . import forpack, framing, packing, raw
 
 _FLAT = {
     "array<bigint>": ("bigint", pa.int64(), forpack),
+    "array<int>": ("int", pa.int32(), forpack),
     "array<float>": ("float", pa.float32(), raw),
     "array<double>": ("double", pa.float64(), raw),
+    "array<string>": ("string", pa.string(), raw),
+    "array<boolean>": ("boolean", pa.bool_(), raw),
 }
 
 

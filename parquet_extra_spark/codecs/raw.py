@@ -41,7 +41,7 @@ def encode(arr: pa.Array, dtype: str) -> bytes:
             packing.pack_mask(mask) if mask.any() else b"",
             np.packbits(vals, bitorder="little").tobytes(),
         ]
-    elif dtype in typemap.INTLIKE_DTYPES:
+    elif typemap.is_intlike(dtype):
         vals, mask = typemap.to_int64_values(arr, dtype)
         meta = {"n": n, "null_count": int(mask.sum())}
         secs = [
@@ -77,11 +77,11 @@ def decode(payload: bytes, dtype: str) -> pa.Array:
             np.frombuffer(secs[2], dtype=np.uint8), count=n, bitorder="little"
         ).astype(bool)
         return pa.array(vals, type=pa.bool_(), mask=mask)
-    if dtype in typemap.INTLIKE_DTYPES:
+    if typemap.is_intlike(dtype):
         vals = np.frombuffer(secs[2], dtype="<i8").copy()
         return typemap.from_int64_values(vals, mask, dtype)
     if dtype in typemap.FLOAT_DTYPES:
         np_t = "<f8" if dtype == "double" else "<f4"
         vals = np.frombuffer(secs[2], dtype=np_t)
-        return pa.array(vals, type=typemap.SPARK_TO_ARROW[dtype], mask=mask)
+        return pa.array(vals, type=typemap.spark_to_arrow(dtype), mask=mask)
     raise TypeError(f"raw codec: unsupported dtype {dtype}")

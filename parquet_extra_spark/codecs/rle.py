@@ -26,7 +26,13 @@ import numpy as np
 import pyarrow as pa
 
 from . import framing, packing, typemap
-from .dictionary import _decode_dict_values, _encode_dict_values, _dict_as_typed, dict_encode_codes
+from .dictionary import (
+    _decode_dict_values,
+    _dict_as_typed,
+    _dv_dtype,
+    _encode_dict_values,
+    dict_encode_codes,
+)
 
 
 def encode(arr: pa.Array, dtype: str) -> bytes:
@@ -45,7 +51,7 @@ def encode(arr: pa.Array, dtype: str) -> bytes:
         run_lens = np.empty(0, dtype=np.uint64)
     vwidth = packing.bit_width(dict_n)  # sentinel included in range
     lwidth = packing.bit_width(int(run_lens.max()) if n_runs else 0)
-    dv_dtype = "bigint" if dtype in ("boolean", "timestamp", "timestamp_ntz") else dtype
+    dv_dtype = _dv_dtype(dtype)
     sec_a, sec_b = _encode_dict_values(_dict_as_typed(dict_arr, dtype), dv_dtype)
     meta = {
         "n": n,
@@ -75,8 +81,8 @@ def decode(payload: bytes, dtype: str) -> pa.Array:
     assert len(codes) == n, f"rle decode length mismatch: {len(codes)} != {n}"
     mask = codes == dict_n
     if dict_n == 0:
-        return pa.nulls(n, type=typemap.SPARK_TO_ARROW[dtype])
-    dv_dtype = "bigint" if dtype in ("boolean", "timestamp", "timestamp_ntz") else dtype
+        return pa.nulls(n, type=typemap.spark_to_arrow(dtype))
+    dv_dtype = _dv_dtype(dtype)
     dict_arr = _decode_dict_values(secs[3], secs[4], dict_n, dv_dtype)
     codes = np.where(mask, 0, codes)
     idx = pa.array(codes, type=pa.int64(), mask=mask)
@@ -84,5 +90,7 @@ def decode(payload: bytes, dtype: str) -> pa.Array:
     if dtype == "boolean":
         return out.cast(pa.bool_())
     if dtype in ("timestamp", "timestamp_ntz"):
-        return out.cast(typemap.SPARK_TO_ARROW[dtype])
+        return out.cast(typemap.spark_to_arrow(dtype))
+    if typemap.is_decimal(dtype):
+        return typemap.unscaled_to_decimal(out, dtype)
     return out

@@ -39,6 +39,7 @@ CHUNK_SPARK_SCHEMA = T.StructType(
         T.StructField("distinct_est", T.LongType(), False),
         T.StructField("n_runs", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
+        T.StructField("schema_fp", T.StringType(), False),
     ]
 )
 
@@ -62,11 +63,20 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("distinct_est", pa.int64()),
         ("n_runs", pa.int64()),
         ("sha256", pa.string()),
+        ("schema_fp", pa.string()),
     ]
 )
 
 PART_SEP = "\x1f"  # joins partition-column values into part_key
 NULL_TOKEN = "\x00"  # stands in for NULL partition values
+
+
+def schema_fingerprint(columns: list[str], namespace: str = "") -> str:
+    """Per-encode provenance stamp carried on every chunk row: decode
+    fails fast when one chunk_id group mixes rows from encodes with
+    different schemas/namespaces (a collision with disjoint column sets
+    is undetectable from the (part_key, salt, seq) identity alone)."""
+    return hashlib.sha1(f"{namespace}|{','.join(columns)}".encode()).hexdigest()[:16]
 
 
 def chunk_uid(part_key: str, salt: int, seq: int, namespace: str = "") -> int:

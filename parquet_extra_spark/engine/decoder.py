@@ -3,20 +3,43 @@
 Analogue of the reference's record materialization (parquet-tensorflow
 ExampleConverter.java:13-59: per-column converters buffer values, end()
 stitches them into a record), but batched: all column-chunk rows of a
-chunk_id are co-located by a shuffle on chunk_id, assembled into one
-Arrow RecordBatch per chunk inside mapInArrow, and streamed out. No
-pandas in the hot path (avoids pandas' nullable-int pitfalls), no
-collect — except the tiny schema-discovery pass, which reads only the
-(column, col_idx, dtype) triples: the analogue of reading a Parquet
-footer (ExampleParquetReader.java:65-71).
+chunk_id are assembled into one Arrow RecordBatch per chunk inside
+mapInArrow, and streamed out. No pandas in the hot path (avoids pandas'
+nullable-int pitfalls), no collect — except the tiny schema-discovery
+pass, which reads only the (column, col_idx, dtype) triples: the
+analogue of reading a Parquet footer (ExampleParquetReader.java:65-71).
+
+Two physical strategies:
+
+* ``colocated=True`` — **no shuffle**. The encoder emits every column of
+  a chunk contiguously from one task (engine/encoder.py _chunk_rows_batch
+  builds one record batch per chunk), and narrow transformations
+  (filters, broadcast semi-joins, cache) preserve that partitioning. The
+  decode then only needs a within-partition sort on (chunk_id, col_idx)
+  — zero network/disk movement of payload bytes. At 100 TB this is the
+  difference between decoding in place and shuffling 100 TB first.
+* ``colocated=False`` (default) — repartition on chunk_id + in-partition
+  sort. Required for chunk tables whose co-location is unknown (e.g.
+  re-partitioned unions, arbitrary file reads). ``check_colocated``
+  verifies co-location with a metadata-only aggregation (payloads are
+  pruned from the scan) so file-backed chunk tables can opt into the
+  no-shuffle path safely.
 
 Projection on encoded data is a *filter on the chunk table*
 (column ∈ requested) — reference semantics O19/O20
 (ExampleReadSupport.java:33-53, 76-90), including the fail-fast on
-unknown fields (:88, IllegalStateException).
+unknown fields (:88, IllegalStateException). ``expected_schema`` is the
+by-schema read variant (ExampleParquetReader.java:41-45 withSchema):
+the discovered footer schema must agree with the caller's declared
+schema on every requested column's name and dtype.
 
 Decode failures are wrapped with (part_key, chunk_id, column) context —
 the analogue of ExampleConverter.java:48-52's ParquetDecodingException.
+Chunk-id collisions (unioned chunk tables from independent encode()
+calls without distinct uid_namespace values) are detected structurally:
+a chunk_id group spanning more than one (part_key, salt, seq) identity
+fails fast *before* any payload is decoded, even when the colliding
+chunks have disjoint column sets.
 """
 
 from __future__ import annotations
@@ -48,22 +71,72 @@ def discover_schema(chunks: DataFrame) -> list[tuple[str, int, str]]:
     return sorted(((c, i, d) for c, (i, d) in seen.items()), key=lambda t: t[1])
 
 
+def check_colocated(chunks: DataFrame) -> bool:
+    """True iff every chunk_id lives in exactly one partition of ``chunks``.
+
+    Metadata-only: the aggregation reads just (partition-id, chunk_id), so
+    on a file-backed chunk table column pruning keeps payload bytes out of
+    the scan entirely — at 100 TB this costs a scan of the id column, not
+    the data. Use before ``decode(..., colocated=True)`` on chunk tables
+    whose physical layout is not known by construction (encode() output
+    and cached/filtered derivatives of it are co-located by construction).
+    """
+    row = (
+        chunks.select(F.spark_partition_id().alias("pid"), "chunk_id")
+        .groupBy("chunk_id")
+        .agg(F.countDistinct("pid").alias("np"))
+        .agg(F.coalesce(F.max("np"), F.lit(0)).alias("m"))
+        .collect()[0]
+    )
+    return row["m"] <= 1
+
+
 def _spark_schema(cols: list[tuple[str, int, str]]) -> T.StructType:
     from .schema import to_struct
 
     return to_struct(cols)
 
 
+_WORK_COLS = (
+    "column", "codec", "payload", "n_values", "part_key", "salt", "seq",
+    "chunk_id", "schema_fp",
+)
+
+
 def _make_decode_fn(cols: list[tuple[str, int, str]]):
     names = [c for c, _, _ in cols]
     dtypes = {c: d for c, _, d in cols}
-    arrow_schema = pa.schema([(c, typemap.SPARK_TO_ARROW[dtypes[c]]) for c in names])
+    arrow_schema = pa.schema([(c, typemap.spark_to_arrow(dtypes[c])) for c in names])
 
     def decode_group(rows: dict) -> pa.RecordBatch:
+        cid = rows["chunk_id"][0]
+        # structural integrity first — before any payload is decoded:
+        # (1) one source chunk per chunk_id group (catches collisions even
+        # with disjoint column sets), (2) no duplicate column rows.
+        idents = set(zip(rows["part_key"], rows["salt"], rows["seq"]))
+        if len(set(rows["schema_fp"])) > 1:
+            raise ChunkDecodeError(
+                f"chunk_id collision: id {cid} mixes rows from encodes with"
+                " different schemas/namespaces (schema_fp mismatch) — unioned"
+                " chunk tables from independent encode() calls need distinct"
+                " uid_namespace values"
+            )
+        if len(idents) > 1:
+            raise ChunkDecodeError(
+                f"chunk_id collision: id {cid} produced by multiple source chunks"
+                f" {sorted(idents)} — unioned chunk tables from independent"
+                " encode() calls need distinct uid_namespace values"
+            )
+        if len(set(rows["column"])) != len(rows["column"]):
+            dupes = sorted({c for c in rows["column"] if rows["column"].count(c) > 1})
+            raise ChunkDecodeError(
+                f"duplicate chunk-table rows: part_key={rows['part_key'][0]!r}"
+                f" chunk_id={cid} columns={dupes}"
+            )
         by_col = {}
-        for col, codec, payload, n_values, pk, cid in zip(
+        for col, codec, payload, n_values, pk in zip(
             rows["column"], rows["codec"], rows["payload"], rows["n_values"],
-            rows["part_key"], rows["chunk_id"],
+            rows["part_key"],
         ):
             try:
                 arr = decode_array(payload, dtypes[col], codec)
@@ -71,13 +144,6 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
                 raise ChunkDecodeError(
                     f"decode failed: part_key={pk!r} chunk_id={cid} column={col!r} codec={codec}: {e}"
                 ) from e
-            if col in by_col:
-                raise ChunkDecodeError(
-                    f"duplicate chunk-table rows: part_key={pk!r} chunk_id={cid}"
-                    f" column={col!r} — chunk_id collision (unioned chunk tables"
-                    " from independent encode() calls need distinct"
-                    " uid_namespace values)"
-                )
             if len(arr) != n_values:
                 raise ChunkDecodeError(
                     f"length mismatch: part_key={pk!r} chunk_id={cid} column={col!r}: "
@@ -87,12 +153,12 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
         missing = [c for c in names if c not in by_col]
         if missing:
             raise ChunkDecodeError(
-                f"chunk {rows['chunk_id'][0]} missing columns {missing} "
+                f"chunk {cid} missing columns {missing} "
                 f"(decode of data written without them — incompatible schema)"
             )
         lens = {len(by_col[c]) for c in names}
         if len(lens) > 1:
-            raise ChunkDecodeError(f"column length skew in chunk {rows['chunk_id'][0]}: {lens}")
+            raise ChunkDecodeError(f"column length skew in chunk {cid}: {lens}")
         return pa.RecordBatch.from_arrays([by_col[c] for c in names], schema=arrow_schema)
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -116,7 +182,7 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
                     if out is not None:
                         yield out
                     cur_cid = cid
-                for key in ("column", "codec", "payload", "n_values", "part_key", "chunk_id"):
+                for key in _WORK_COLS:
                     pending.setdefault(key, []).append(tbl.column(key)[i].as_py())
         out = drain()
         if out is not None:
@@ -125,11 +191,35 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
     return decode_fn
 
 
+def _validate_expected(
+    schema_cols: list[tuple[str, int, str]],
+    expected: "T.StructType | list[tuple[str, int, str]]",
+) -> None:
+    """By-schema read validation (ExampleParquetReader.java:41-45 withSchema):
+    every expected column must exist in the chunk table with the same dtype."""
+    from .schema import from_struct
+
+    exp = from_struct(expected) if isinstance(expected, T.StructType) else expected
+    have = {c: d for c, _, d in schema_cols}
+    for name, _, dt in exp:
+        if name not in have:
+            raise ChunkDecodeError(
+                f"expected_schema column {name!r} not present in chunk table"
+            )
+        if have[name] != dt:
+            raise ChunkDecodeError(
+                f"expected_schema type mismatch for {name!r}: "
+                f"chunk table has {have[name]}, caller expects {dt}"
+            )
+
+
 def decode(
     chunks: DataFrame,
     columns: list[str] | None = None,
     num_partitions: int | None = None,
     schema_cols: list[tuple[str, int, str]] | None = None,
+    colocated: bool = False,
+    expected_schema: "T.StructType | list[tuple[str, int, str]] | None" = None,
 ) -> DataFrame:
     """Decode the chunk table back into a data DataFrame.
 
@@ -137,6 +227,21 @@ def decode(
     chunk rows of other columns are never read past their stats: the
     columnar-projection trick). Unknown names raise, matching the
     reference's invalid-projection contract (ExampleReadSupport.java:88).
+
+    schema_cols: pass the known schema (e.g. schema_from_struct(df.schema)
+    for a chunk table just produced by encode(df)) to skip the
+    discover_schema action — on a lazy encode pipeline that action would
+    otherwise *run the whole encode job* just to read the footer.
+
+    colocated: True = trust that every chunk's rows share one partition
+    (guaranteed for encode() output and narrow transformations of it;
+    verifiable for file-backed tables via check_colocated) and decode with
+    only a within-partition sort — no shuffle of payload bytes. False =
+    repartition on chunk_id first (always safe).
+
+    expected_schema: by-schema read (O19's withSchema variant) — validate
+    the chunk table's discovered schema against a caller-declared one and
+    fail fast on missing columns or dtype changes.
     """
     spark = chunks.sparkSession
     if schema_cols is None:
@@ -145,6 +250,8 @@ def decode(
         raise ChunkDecodeError(
             "empty chunk table and no schema_cols given — cannot derive output schema"
         )
+    if expected_schema is not None:
+        _validate_expected(schema_cols, expected_schema)
     known = {c for c, _, _ in schema_cols}
     if columns is not None:
         unknown = [c for c in columns if c not in known]
@@ -153,10 +260,15 @@ def decode(
         schema_cols = [t for t in schema_cols if t[0] in set(columns)]
         chunks = chunks.filter(F.col("column").isin(list(columns)))
 
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    work = (
-        chunks.repartition(n_part, "chunk_id")
-        .sortWithinPartitions("chunk_id", "col_idx")
-    )
+    if colocated:
+        # no shuffle: chunks already co-located per partition; the sort is
+        # in-partition only (group contiguity + col_idx order for assembly)
+        work = chunks.sortWithinPartitions("chunk_id", "col_idx")
+    else:
+        n_part = num_partitions or spark.sparkContext.defaultParallelism
+        work = (
+            chunks.repartition(n_part, "chunk_id")
+            .sortWithinPartitions("chunk_id", "col_idx")
+        )
     fn = _make_decode_fn(schema_cols)
     return work.mapInArrow(fn, schema=_spark_schema(schema_cols))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import typemap
 from . import stats as stats_mod
-from .chunk import CHUNK_ARROW_SCHEMA, CHUNK_SPARK_SCHEMA, chunk_uid
+from .chunk import CHUNK_ARROW_SCHEMA, CHUNK_SPARK_SCHEMA, chunk_uid, schema_fingerprint
 
 _BUCKET = "__pe_bucket"
 _SALT = "__pe_salt"
@@ -94,8 +94,13 @@ def _chunk_rows_batch(
     memo: dict,
     sort_cols: list[str] | None = None,
     uid_namespace: str = "",
+    schema_fp: str = "",
+    display: list[str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
+
+    ``display`` maps the (resolution-safe) physical column names back to
+    the user-facing names stored in the chunk table's ``column`` field.
 
     ``memo`` caches the selected codec per column within this task:
     consecutive chunks of a column in one partition see near-identical
@@ -106,6 +111,7 @@ def _chunk_rows_batch(
     if sort_cols:
         table = _sort_table(table, sort_cols)
     rows = {name: [] for name in CHUNK_ARROW_SCHEMA.names}
+    labels = display or columns
     for idx, col in enumerate(columns):
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
@@ -123,7 +129,7 @@ def _chunk_rows_batch(
         rows["salt"].append(salt)
         rows["chunk_id"].append(cid)
         rows["seq"].append(seq)
-        rows["column"].append(col)
+        rows["column"].append(labels[idx])
         rows["col_idx"].append(idx)
         rows["dtype"].append(dtype)
         rows["codec"].append(codec)
@@ -137,6 +143,7 @@ def _chunk_rows_batch(
         rows["distinct_est"].append(st.distinct)
         rows["n_runs"].append(st.n_runs)
         rows["sha256"].append(stats_mod.canonical_sha256(arr, dtype))
+        rows["schema_fp"].append(schema_fp)
     return pa.RecordBatch.from_pydict(
         {k: pa.array(v, type=CHUNK_ARROW_SCHEMA.field(k).type) for k, v in rows.items()},
         schema=CHUNK_ARROW_SCHEMA,
@@ -150,7 +157,10 @@ def _make_encode_fn(
     codec: str | None,
     sort_cols: list[str] | None = None,
     uid_namespace: str = "",
+    display: list[str] | None = None,
 ):
+    schema_fp = schema_fingerprint(display or columns, uid_namespace)
+
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -175,6 +185,7 @@ def _make_encode_fn(
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
                 sort_cols=sort_cols, uid_namespace=uid_namespace,
+                schema_fp=schema_fp, display=display,
             )
 
         for batch in batches:
@@ -228,12 +239,14 @@ def unit_exprs(
     partition_cols = partition_cols or []
     if partition_cols:
         bucket_expr = F.pmod(
-            F.xxhash64(*[F.col(c) for c in partition_cols]), F.lit(n_buckets)
+            F.xxhash64(*[F.col(f"`{c}`") for c in partition_cols]), F.lit(n_buckets)
         ).cast("int")
     else:
         bucket_expr = F.lit(0).cast("int")
     salt_src = salt_col or next((c for c in columns if c not in partition_cols), columns[0])
-    salt_expr = F.pmod(F.xxhash64(F.col(salt_src).cast("string")), F.lit(n_salts)).cast("int")
+    salt_expr = F.pmod(
+        F.xxhash64(F.col(f"`{salt_src}`").cast("string")), F.lit(n_salts)
+    ).cast("int")
     return bucket_expr, salt_expr
 
 
@@ -299,14 +312,32 @@ def encode(
     spark = df.sparkSession
     columns = df.columns
     validate_columns(columns)  # duplicate-name rejection (Schema.java:209)
-    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for c, dt in dtypes.items():
-        if dt not in typemap.SPARK_TO_ARROW:
+    dtypes_by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c, dt in dtypes_by_name.items():
+        if not typemap.is_supported(dt):
             raise TypeError(f"column {c!r}: unsupported type {dt}")
 
+    # Resolution-safe physical names: PySpark's mapInArrow resolves its
+    # input columns by bare name and breaks on dots (nested-shred leaf
+    # names like "address.zip", or any user column containing '.'). Encode
+    # under positional aliases; chunk rows carry the true names (display).
+    safe = [f"__pe_v{i}" for i in range(len(columns))]
+    s_of = dict(zip(columns, safe))
+    work0 = df.select(*[F.col(f"`{c}`").alias(s) for c, s in zip(columns, safe)])
+    dtypes = {s_of[c]: dtypes_by_name[c] for c in columns}
+
     partition_cols = partition_cols or []
-    bucket_expr, salt_expr = unit_exprs(columns, partition_cols, n_buckets, n_salts, salt_col)
-    work = df.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
+    unknown = [c for c in list(partition_cols) + list(sort_cols or []) if c not in s_of]
+    if unknown:
+        raise ValueError(f"unknown partition/sort columns: {unknown}")
+    bucket_expr, salt_expr = unit_exprs(
+        safe,
+        [s_of[c] for c in partition_cols],
+        n_buckets,
+        n_salts,
+        s_of[salt_col] if salt_col else None,
+    )
+    work = work0.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
     # 4 tasks per core: (bucket, salt) units hash unevenly (a mega-repo's
     # units are ~10x an average unit), so 1 task/core leaves a straggler
     # tail that caps scaling efficiency; finer tasks let the scheduler
@@ -320,7 +351,8 @@ def encode(
     # expensive non-scaling step measured (9s vs 2.3s on 0.5GB/32 cores).
     work = work.sortWithinPartitions(_BUCKET, _SALT)
 
-    chunk_sort = list(partition_cols) + list(sort_cols or [])
-    fn = _make_encode_fn(columns, dtypes, chunk_rows, codec,
-                         sort_cols=chunk_sort or None, uid_namespace=uid_namespace)
+    chunk_sort = [s_of[c] for c in list(partition_cols) + list(sort_cols or [])]
+    fn = _make_encode_fn(safe, dtypes, chunk_rows, codec,
+                         sort_cols=chunk_sort or None, uid_namespace=uid_namespace,
+                         display=columns)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)

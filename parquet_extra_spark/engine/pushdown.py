@@ -29,6 +29,8 @@ def _typed_stat(col: Column, dtype: str) -> Column:
     """Cast a stored stats string back to a comparable type."""
     if dtype in _NUMERIC:
         return col.cast("double")
+    if typemap.is_decimal(dtype):
+        return col.cast(dtype)  # exact decimal comparison, no double rounding
     if dtype in ("timestamp", "timestamp_ntz"):
         return col.cast("timestamp")
     if dtype == "date":
@@ -98,28 +100,43 @@ def filter_decode_isin(
     column: str,
     values: list,
     columns: list[str] | None = None,
+    schema_cols: list[tuple[str, int, str]] | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Two-phase membership decode: chunk min/max skip + exact isin
     re-check after decode (O16 dual contract)."""
-    schema_cols = discover_schema(chunks)
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
     schema = {c: d for c, _, d in schema_cols}
     if column not in schema:
         raise ValueError(f"unknown column {column!r}")
     pruned = chunk_isin_filter(chunks, column, values, schema[column])
     need = columns if columns is None else sorted(set(columns) | {column})
-    out = decode(pruned, columns=need, schema_cols=schema_cols)
-    out = out.filter(F.col(column).isin(values))
+    out = decode(pruned, columns=need, schema_cols=schema_cols, colocated=colocated)
+    out = out.filter(F.col(f"`{column}`").isin(values))
     if columns is not None and column not in columns:
-        out = out.select(*columns)
+        out = out.select(*[F.col(f"`{c}`") for c in columns])
     return out
 
 
-def chunk_null_filter(chunks: DataFrame, column: str, want_null: bool) -> DataFrame:
+def chunk_null_filter(
+    chunks: DataFrame,
+    column: str,
+    want_null: bool,
+    schema_cols: list[tuple[str, int, str]] | None = None,
+) -> DataFrame:
     """Null-ness pushdown — the encoded-chunk analogue of the reference's
     null-literal predicates (Predicate.scala:120-127 `eq(col, null)` =
     is-null, tested PredicateTest.scala:76-100). Uses the per-chunk
     null_count stat: is-null skips chunks with zero nulls; is-not-null
-    skips chunks that are entirely null (null_count == n_values)."""
+    skips chunks that are entirely null (null_count == n_values).
+
+    Unknown columns raise (a typo would otherwise silently prune every
+    chunk and return an empty result)."""
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
+    if column not in {c for c, _, _ in schema_cols}:
+        raise ValueError(f"unknown column {column!r}")
     stat_rows = chunks.filter(F.col("column") == column)
     if want_null:
         keep = F.col("null_count") > 0
@@ -134,19 +151,24 @@ def filter_decode_null(
     column: str,
     want_null: bool = True,
     columns: list[str] | None = None,
+    schema_cols: list[tuple[str, int, str]] | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Two-phase null-predicate decode: chunk null_count skip (coarse) +
     exact isNull/isNotNull re-check after decode (O16 dual contract)."""
-    schema_cols = discover_schema(chunks)
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
     if column not in {c for c, _, _ in schema_cols}:
         raise ValueError(f"unknown column {column!r}")
-    pruned = chunk_null_filter(chunks, column, want_null)
+    pruned = chunk_null_filter(chunks, column, want_null, schema_cols)
     need = columns if columns is None else sorted(set(columns) | {column})
-    out = decode(pruned, columns=need, schema_cols=schema_cols)
-    cond = F.col(column).isNull() if want_null else F.col(column).isNotNull()
+    out = decode(pruned, columns=need, schema_cols=schema_cols, colocated=colocated)
+    cond = (
+        F.col(f"`{column}`").isNull() if want_null else F.col(f"`{column}`").isNotNull()
+    )
     out = out.filter(cond)
     if columns is not None and column not in columns:
-        out = out.select(*columns)
+        out = out.select(*[F.col(f"`{c}`") for c in columns])
     return out
 
 
@@ -156,24 +178,27 @@ def filter_decode(
     lower=None,
     upper=None,
     columns: list[str] | None = None,
+    schema_cols: list[tuple[str, int, str]] | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """Two-phase filtered decode: chunk-stats skip (coarse) + exact
     row-level re-check after decode — O16's dual-predicate model."""
-    schema_cols = discover_schema(chunks)
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
     schema = {c: d for c, _, d in schema_cols}
     if column not in schema:
         raise ValueError(f"unknown column {column!r}")
     pruned = chunk_range_filter(chunks, column, lower, upper, schema[column])
     need = columns if columns is None else sorted(set(columns) | {column})
-    out = decode(pruned, columns=need, schema_cols=schema_cols)
+    out = decode(pruned, columns=need, schema_cols=schema_cols, colocated=colocated)
     cond = F.lit(True)
     if lower is not None:
-        cond = cond & (F.col(column) >= F.lit(lower))
+        cond = cond & (F.col(f"`{column}`") >= F.lit(lower))
     if upper is not None:
-        cond = cond & (F.col(column) <= F.lit(upper))
+        cond = cond & (F.col(f"`{column}`") <= F.lit(upper))
     out = out.filter(cond)
     if columns is not None and column not in columns:
-        out = out.select(*columns)
+        out = out.select(*[F.col(f"`{c}`") for c in columns])
     return out
 
 

@@ -14,7 +14,7 @@ import json
 
 from pyspark.sql import types as T
 
-from ..codecs.typemap import SPARK_TO_ARROW
+from ..codecs import typemap
 
 SchemaCols = list[tuple[str, int, str]]
 
@@ -31,7 +31,7 @@ def from_struct(schema: T.StructType) -> SchemaCols:
     cols = []
     for i, f in enumerate(schema.fields):
         dt = f.dataType.simpleString()
-        if dt not in SPARK_TO_ARROW:
+        if not typemap.is_supported(dt):
             raise TypeError(f"column {f.name!r}: unsupported type {dt}")
         cols.append((f.name, i, dt))
     validate_columns([c for c, _, _ in cols])
@@ -52,15 +52,28 @@ _DTYPE_TO_SPARK: dict[str, T.DataType] = {
     "timestamp_ntz": T.TimestampNTZType(),
     "date": T.DateType(),
     "array<bigint>": T.ArrayType(T.LongType()),
+    "array<int>": T.ArrayType(T.IntegerType()),
     "array<float>": T.ArrayType(T.FloatType()),
     "array<double>": T.ArrayType(T.DoubleType()),
+    "array<string>": T.ArrayType(T.StringType()),
+    "array<boolean>": T.ArrayType(T.BooleanType()),
 }
+
+
+def _dtype_to_spark(d: str) -> T.DataType:
+    t = _DTYPE_TO_SPARK.get(d)
+    if t is not None:
+        return t
+    p = typemap.decimal_params(d)
+    if p is not None:
+        return T.DecimalType(*p)
+    raise TypeError(f"unsupported dtype {d}")
 
 
 def to_struct(cols: SchemaCols) -> T.StructType:
     ordered = sorted(cols, key=lambda t: t[1])
     return T.StructType(
-        [T.StructField(c, _DTYPE_TO_SPARK[d], True) for c, _, d in ordered]
+        [T.StructField(c, _dtype_to_spark(d), True) for c, _, d in ordered]
     )
 
 
@@ -75,6 +88,6 @@ def from_json(s: str) -> SchemaCols:
     cols = [(r["column"], int(r["col_idx"]), r["dtype"]) for r in rows]
     validate_columns([c for c, _, _ in cols])
     for c, _, d in cols:
-        if d not in SPARK_TO_ARROW:
+        if not typemap.is_supported(d):
             raise TypeError(f"column {c!r}: unsupported type {d}")
     return cols

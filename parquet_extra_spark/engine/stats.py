@@ -80,9 +80,8 @@ def raw_size(arr: pa.Array, dtype: str) -> int:
     if dtype == "boolean":
         return n
     if dtype.startswith("array<"):
-        flat = arr.cast(typemap.SPARK_TO_ARROW[dtype]).flatten()
-        w = 8 if dtype in ("array<bigint>", "array<double>") else 4
-        return len(flat) * w + n * 4
+        flat = arr.cast(typemap.spark_to_arrow(dtype)).flatten()
+        return raw_size(flat, dtype[len("array<"):-1]) + n * 4
     return n * 8
 
 
@@ -97,11 +96,10 @@ def canonical_sha256(arr: pa.Array, dtype: str) -> str:
         h.update(lengths.astype("<u8").tobytes())
         h.update(data)
     elif dtype.startswith("array<"):
-        a = arr.cast(typemap.SPARK_TO_ARROW[dtype])
+        a = arr.cast(typemap.spark_to_arrow(dtype))
         offsets = np.frombuffer(a.buffers()[1], dtype=np.int32)[a.offset : a.offset + len(a) + 1]
         h.update(np.diff(offsets).astype("<i8").tobytes())
-        np_t = {"array<bigint>": "<i8", "array<float>": "<f4", "array<double>": "<f8"}[dtype]
-        h.update(a.flatten().to_numpy(zero_copy_only=False).astype(np_t).tobytes())
+        h.update(canonical_sha256(a.flatten(), dtype[len("array<"):-1]).encode())
     elif dtype in typemap.FLOAT_DTYPES:
         np_t = "<f8" if dtype == "double" else "<f4"
         h.update(arr.fill_null(0.0).to_numpy(zero_copy_only=False).astype(np_t).tobytes())
@@ -211,7 +209,7 @@ def _candidates(arr: pa.Array, dtype: str, stats: ColumnStats) -> list[str]:
         return ["list"]
     dict_n = max(stats.distinct, 1)
     avg_run = n / max(stats.n_runs, 1)
-    if dtype in typemap.INTLIKE_DTYPES:
+    if typemap.is_intlike(dtype):
         cands = ["for", "delta"]
         if dict_n <= n * 0.5:
             cands.append("dict")

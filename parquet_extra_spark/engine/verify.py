@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, functions as F
 
 def _row_fingerprint(df: DataFrame, cols: list[str]):
     """sha256 over a canonical string form of the given columns."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in cols]
+    parts = [
+        F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00<null>")) for c in cols
+    ]
     return F.sha2(F.concat_ws("\x1f", *parts), 256)
 
 

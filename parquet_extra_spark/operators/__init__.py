@@ -3,6 +3,7 @@ from .dedup import (
     exact_dup_stats,
     minhash_signatures,
     minhash_lsh_dedup,
+    lsh_bucket_stats,
     simhash,
     simhash_dedup,
     ngram_jaccard_exact,
@@ -26,6 +27,7 @@ __all__ = [
     "exact_dup_stats",
     "minhash_signatures",
     "minhash_lsh_dedup",
+    "lsh_bucket_stats",
     "simhash",
     "simhash_dedup",
     "ngram_jaccard_exact",

@@ -6,15 +6,34 @@ they whole-stage-codegen and scale exactly like built-in operators:
 
 * exact:    sha256 fingerprint -> hash aggregate (one shuffle)
 * minhash:  char-shingles -> k minhash values (universal hashing over one
-            xxhash64 per shingle) -> LSH banding -> bucket join; candidate
-            verification with exact array-intersection Jaccard
-* simhash:  token hashes -> 64-bit sign-aggregated fingerprint -> banded
-            16-bit blocks for Hamming-near candidates
+            base hash per shingle) -> LSH banding -> bucket join;
+            candidate verification with exact array-intersection Jaccard
+* simhash:  token hashes -> sign-aggregated fingerprint -> banded
+            blocks for Hamming-near candidates
+
+Two base-hash methods, selectable per call:
+
+* ``hash_method="xxhash64"`` — fastest (one JVM hash per shingle); the
+  100-TB default.
+* ``hash_method="md5"`` — bit-identical reproducible in ANSI SQL
+  (``('0x' || substr(md5(s),1,15))::BIGINT`` in DuckDB equals Spark's
+  ``conv(substr(md5(s),1,15),16,10)``), so minhash/simhash cluster
+  assignments are value-checkable against an external oracle — the
+  golden-construction standard of the reference's predicate tests
+  (PredicateTest.scala:19-222) applied to sketching.
+
+Skew safety (LSH buckets are the one non-uniform join key here): every
+bucketed operator takes ``max_bucket_size``; buckets above it (empty/
+boilerplate documents sharing a signature) are dropped from candidate
+generation — standard LSH practice: such buckets are near-duplicates of
+each other trivially, and quadratic pair generation inside them would
+serialize one task. Dropped-bucket counts are observable via
+``lsh_bucket_stats``.
 
 Scale notes (100 TB): every operator is a groupBy on a hash key — uniform
-by construction, so no salting needed; band tables carry only (id, hash)
-pairs, a tiny fraction of the corpus; candidate verification joins are
-per-bucket and bounded by bucket size.
+by construction except LSH buckets (capped above); band tables carry only
+(id, hash) pairs, a tiny fraction of the corpus; candidate verification
+joins are per-bucket and bounded by the cap.
 """
 
 from __future__ import annotations
@@ -25,6 +44,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # 31-bit domain: h < 2^31 and a,b < 2^31 keeps a*h+b < 2^62, safe under
 # Spark ANSI long arithmetic.
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+DEFAULT_MAX_BUCKET = 10_000
 
 
 def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -38,9 +59,30 @@ def _fingerprint(col: Column) -> Column:
     return F.sha2(col, 256)
 
 
+def _base_hash(col: Column, hash_method: str) -> Column:
+    """One non-negative int64 per value. md5 variant: integer value of the
+    first 15 hex chars (60 bits) — reproducible in ANSI SQL engines."""
+    if hash_method == "xxhash64":
+        return F.xxhash64(col)
+    if hash_method == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash_method {hash_method!r}")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct text (hash-groupBy, one shuffle)."""
-    w = Window.partitionBy(_fingerprint(F.col(text_col))).orderBy(*df.columns)
+    """Keep one row per distinct text (hash-groupBy, one shuffle).
+
+    Tie-break among duplicates orders by a 64-char row fingerprint — a
+    narrow deterministic key — never by the multi-KB payload columns
+    themselves (sorting full rows inside the window was the old
+    anti-pattern)."""
+    order_key = _fingerprint(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00")) for c in df.columns],
+        )
+    )
+    w = Window.partitionBy(_fingerprint(F.col(f"`{text_col}`"))).orderBy(order_key)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -75,14 +117,16 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 32,
     shingle: int = 5,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """-> (id, sig: array<bigint> of k minhash values).
 
-    One xxhash64 per shingle, then k universal hashes (a*h+b mod p) folded
-    with array_min — transform/aggregate keep everything in codegen.
+    One base hash per shingle, then k universal hashes (a*h+b mod p)
+    folded with array_min — transform/aggregate keep everything in
+    codegen.
     """
     sh = _shingles(F.col(text_col), shingle)
-    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    hs = F.transform(sh, lambda s: F.pmod(_base_hash(s, hash_method), F.lit(_P)))
     params = _hash_params(k)
 
     def _universal(a: int, b: int):
@@ -94,16 +138,61 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def _bands(sig: Column, bands: int, rows: int) -> Column:
-    """array of (band_idx, band_hash) structs from a minhash signature."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(",", F.transform(F.slice(sig, b * rows + 1, rows), lambda v: v.cast("string"))),
-            ).alias("bhash"),
-        ),
+def _bands(sig: Column, bands: int, rows: int, hash_method: str = "xxhash64") -> Column:
+    """array of (band_idx, band_hash) structs from a minhash signature.
+    Band key: hash of the comma-joined signature slice (md5 variant keys
+    are hex strings — identical construction in SQL)."""
+    def _key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(F.slice(sig, b * rows + 1, rows), lambda v: v.cast("string")),
+        )
+        if hash_method == "md5":
+            return F.md5(joined)
+        return F.xxhash64(joined).cast("string")
+
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _key(b).alias("bhash"))
+            for b in range(bands)
+        ]
+    )
+
+
+def _capped_reps(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Per-bucket representative (min id), with oversized buckets dropped
+    (skew cap — see module docstring)."""
+    reps = exploded.groupBy("band", "bhash").agg(
+        F.min("id").alias("rep"), F.count("*").alias("__bn")
+    )
+    if max_bucket_size is not None:
+        reps = reps.filter(F.col("__bn") <= max_bucket_size)
+    return reps.drop("__bn")
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle: int = 5,
+    hash_method: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Observability for the skew cap: one row per band with bucket-count
+    / dropped-bucket facts (the 'log what was dropped' contract)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, hash_method)
+    exploded = sigs.select(
+        "id", F.explode(_bands(F.col("sig"), bands, rows, hash_method)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    per_bucket = exploded.groupBy("band", "bhash").count()
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else F.lit(None)
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.sum(F.when(F.col("count") > cap, 1).otherwise(0)).alias("n_dropped"),
     )
 
 
@@ -115,6 +204,8 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle: int = 5,
     jaccard_threshold: float | None = 0.8,
+    hash_method: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """-> (id, cluster_id): near-duplicate clusters via MinHash + LSH.
 
@@ -123,24 +214,30 @@ def minhash_lsh_dedup(
     clusters; chains across clusters would need iteration, documented).
     With jaccard_threshold set, bucket mates are verified with exact
     shingle-set Jaccard (array_intersect — JVM) before clustering.
+    Candidate generation is LINEAR in bucket size (members pair only with
+    the bucket's min-id representative, never all-pairs); the
+    max_bucket_size cap additionally drops degenerate buckets.
     """
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle)
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, hash_method)
     exploded = sigs.select(
-        "id", F.explode(_bands(F.col("sig"), bands, rows)).alias("b")
+        "id", F.explode(_bands(F.col("sig"), bands, rows, hash_method)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    reps = _capped_reps(exploded, max_bucket_size)
 
     if jaccard_threshold is None:
-        buckets = exploded.groupBy("band", "bhash").agg(F.min("id").alias("rep"))
-        assigned = exploded.join(buckets, ["band", "bhash"])
-        return assigned.groupBy("id").agg(F.min("rep").alias("cluster_id"))
+        assigned = exploded.join(reps, ["band", "bhash"])
+        all_ids = df.select(F.col(id_col).alias("id"))
+        clusters = assigned.groupBy("id").agg(F.min("rep").alias("cluster_id"))
+        return all_ids.join(clusters, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
 
-    # candidate pairs within buckets (id > rep), verified by exact jaccard
+    # candidate pairs within buckets (id != rep), verified by exact jaccard
     sh = df.select(
         F.col(id_col).alias("id"),
         _shingles(F.col(text_col), shingle).alias("sh"),
     )
-    reps = exploded.groupBy("band", "bhash").agg(F.min("id").alias("rep"))
     cands = (
         exploded.join(reps, ["band", "bhash"])
         .filter(F.col("id") != F.col("rep"))
@@ -166,13 +263,20 @@ def minhash_lsh_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
-    """-> (id, simhash: bigint). 64-bit SimHash over whitespace tokens:
-    bit i is the sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1),
-    computed as one aggregate per bit via higher-order functions (JVM)."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    hs = F.transform(tokens, lambda t: F.xxhash64(t))
+    """-> (id, simhash: bigint). SimHash over whitespace tokens: bit i is
+    the sign of sum over tokens of (bit i of hash(token) ? +1 : -1),
+    computed as one aggregate per bit via higher-order functions (JVM).
+    64 bits with xxhash64; 60 with md5 (the SQL-reproducible variant)."""
+    n_bits = 64 if hash_method == "xxhash64" else 60
+    tokens = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    hs = F.transform(tokens, lambda t: _base_hash(t, hash_method))
 
     def _sign_step(i: int):
         return lambda acc, h: acc + F.when(
@@ -182,7 +286,7 @@ def simhash(
     # one sign-aggregate per bit, unrolled in Python (the shift amount must
     # be a literal for shiftright); still a single projection in the plan
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _sign_step(i))
         fp = fp.bitwiseOR(
             F.when(
@@ -194,12 +298,19 @@ def simhash(
 
 
 def simhash_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_method: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """-> (id, cluster_id): candidates share one of four 16-bit simhash
-    blocks (Hamming distance <= 3 guarantees a shared block by pigeonhole),
-    clustered to the min id per block bucket."""
-    s = simhash(df, id_col, text_col)
+    """-> (id, cluster_id): candidates share one of four simhash blocks
+    (16-bit for xxhash64, 15-bit for md5; Hamming distance <= 3 guarantees
+    a shared block by pigeonhole), clustered to the min id per block
+    bucket. Oversized block buckets are dropped (skew cap)."""
+    blk_bits = 16 if hash_method == "xxhash64" else 15
+    blk_mask = (1 << blk_bits) - 1
+    s = simhash(df, id_col, text_col, hash_method)
     blocks = s.select(
         "id",
         F.explode(
@@ -207,8 +318,8 @@ def simhash_dedup(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), b * blk_bits)
+                        .bitwiseAND(F.lit(blk_mask))
                         .alias("bval"),
                     )
                     for b in range(4)
@@ -216,11 +327,20 @@ def simhash_dedup(
             )
         ).alias("e"),
     ).select("id", F.col("e.blk").alias("blk"), F.col("e.bval").alias("bval"))
-    reps = blocks.groupBy("blk", "bval").agg(F.min("id").alias("rep"))
-    return (
+    reps = blocks.groupBy("blk", "bval").agg(
+        F.min("id").alias("rep"), F.count("*").alias("__bn")
+    )
+    if max_bucket_size is not None:
+        reps = reps.filter(F.col("__bn") <= max_bucket_size)
+    reps = reps.drop("__bn")
+    all_ids = df.select(F.col(id_col).alias("id"))
+    clusters = (
         blocks.join(reps, ["blk", "bval"])
         .groupBy("id")
         .agg(F.min("rep").alias("cluster_id"))
+    )
+    return all_ids.join(clusters, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
 
 
@@ -276,14 +396,26 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 32,
     bands: int = 16,
+    hash_method: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for candidate pairs above threshold.
-    LSH (wide bands for recall) proposes, exact n-gram Jaccard disposes."""
+    LSH (wide bands for recall) proposes, exact n-gram Jaccard disposes.
+    The within-bucket self-join IS quadratic in bucket size, so oversized
+    buckets are dropped before pairing (max_bucket_size)."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle)
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, hash_method)
     exploded = sigs.select(
-        "id", F.explode(_bands(F.col("sig"), bands, rows)).alias("b")
+        "id", F.explode(_bands(F.col("sig"), bands, rows, hash_method)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    if max_bucket_size is not None:
+        ok = (
+            exploded.groupBy("band", "bhash")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        exploded = exploded.join(ok, ["band", "bhash"], "left_semi")
     left = exploded.alias("l")
     right = exploded.alias("r")
     cand = (

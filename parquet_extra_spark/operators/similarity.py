@@ -109,9 +109,13 @@ def cosine_pairs_lsh(
     n_planes: int = 16,
     n_tables: int = 4,
     dim: int = 64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """-> (id_a, id_b, cosine >= threshold). n_tables independent signature
-    tables boost recall; candidates are verified with exact cosine."""
+    tables boost recall; candidates are verified with exact cosine.
+    The within-bucket self-join is quadratic in bucket size, so oversized
+    signature buckets (e.g. all-zero embeddings) are dropped before
+    pairing — the LSH skew cap."""
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -126,6 +130,14 @@ def cosine_pairs_lsh(
     sigs = sig_tables[0]
     for s in sig_tables[1:]:
         sigs = sigs.unionAll(s)
+    if max_bucket_size is not None:
+        ok = (
+            sigs.groupBy("tbl", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        sigs = sigs.join(ok, ["tbl", "sig"], "left_semi")
     left, right = sigs.alias("l"), sigs.alias("r")
     cand = (
         left.join(

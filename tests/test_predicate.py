@@ -1,0 +1,115 @@
+"""Composable predicate algebra over chunk stats — the Predicate.scala
+boolean-tree parity suite (and/or :91-95, not :163-171, != :31-38,
+null literals :120-127; golden-construction style of
+PredicateTest.scala:19-222): every tree is checked for *equality with the
+plain-DataFrame filter* (exactness) and, where stats allow, for actual
+chunk skipping (the coarse half is not a no-op)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+import parquet_extra_spark as pes
+from parquet_extra_spark.engine.predicate import P, to_spark
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        Row(
+            k=i,
+            a=i % 100,
+            b=f"s{i % 7}",
+            c=None if i % 11 == 0 else i * 3,
+            g=f"g{i // 500}",  # clusters values so chunk stats are selective
+        )
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def chunks(table):
+    c = pes.encode(
+        table, partition_cols=["g"], sort_cols=["a"], chunk_rows=256,
+        n_buckets=4, n_salts=1, num_partitions=4,
+    ).cache()
+    c.count()
+    return c
+
+
+def _check(table, chunks, pred, spark_cond):
+    got = pes.filter_decode_pred(chunks, pred, colocated=True)
+    want = table.filter(spark_cond)
+    assert pes.roundtrip_ok(want, got.select(*want.columns)), str(pred)
+
+
+def test_cross_column_and_or(table, chunks):
+    pred = (P.ge("a", 40) & P.eq("b", "s3")) | P.lt("k", 10)
+    _check(table, chunks, pred,
+           ((F.col("a") >= 40) & (F.col("b") == "s3")) | (F.col("k") < 10))
+
+
+def test_ne_and_not(table, chunks):
+    pred = P.ne("b", "s0") & ~P.ge("a", 50)
+    _check(table, chunks, pred, (F.col("b") != "s0") & ~(F.col("a") >= 50))
+
+
+def test_not_of_or_null_semantics(table, chunks):
+    # c has NULLs: NOT(c > 100 OR c < 50) must NOT resurrect null rows
+    pred = ~(P.gt("c", 100) | P.lt("c", 50))
+    _check(table, chunks, pred, ~((F.col("c") > 100) | (F.col("c") < 50)))
+
+
+def test_isin_and_nullness(table, chunks):
+    pred = P.isin("b", ["s1", "s5"]) & P.not_null("c")
+    _check(table, chunks, pred,
+           F.col("b").isin("s1", "s5") & F.col("c").isNotNull())
+    pred2 = P.is_null("c") | P.eq("k", 1)
+    _check(table, chunks, pred2, F.col("c").isNull() | (F.col("k") == 1))
+
+
+def test_variadic_helpers(table, chunks):
+    pred = P.and_(P.ge("k", 100), P.le("k", 900), P.or_(P.eq("b", "s2"), P.eq("b", "s4")))
+    _check(table, chunks, pred,
+           (F.col("k") >= 100) & (F.col("k") <= 900)
+           & ((F.col("b") == "s2") | (F.col("b") == "s4")))
+
+
+def test_pruning_actually_skips(chunks):
+    # k is clustered by g + sorted by a within chunks; a narrow k-range
+    # must skip most chunks
+    st = pes.pushdown_stats_pred(chunks, P.lt("k", 120))
+    assert st["chunks_skipped"] > 0, st
+    assert st["chunks_kept"] < st["chunks_total"]
+
+
+def test_not_keeps_chunks_soundly(chunks, table):
+    # NOT over a stats-certain predicate: chunks where ALL rows satisfy
+    # k < 5000 (i.e. every chunk) must be skipped for NOT(k < 5000)
+    st = pes.pushdown_stats_pred(chunks, ~P.lt("k", 5000))
+    assert st["chunks_kept"] == 0, st
+    got = pes.filter_decode_pred(chunks, ~P.lt("k", 5000), colocated=True)
+    assert got.count() == 0
+
+
+def test_unknown_column_raises(chunks):
+    with pytest.raises(ValueError, match="unknown"):
+        pes.filter_decode_pred(chunks, P.eq("nope", 1))
+
+
+def test_projection_with_pred(table, chunks):
+    out = pes.filter_decode_pred(
+        chunks, P.eq("b", "s3") & P.ge("a", 10), columns=["k"], colocated=True
+    )
+    assert out.columns == ["k"]
+    want = table.filter((F.col("b") == "s3") & (F.col("a") >= 10)).select("k")
+    assert pes.roundtrip_ok(want, out)
+
+
+def test_to_spark_matches_sql_semantics(table):
+    pred = (P.lt("a", 30) | P.ne("c", 33)) & ~P.eq("b", "s6")
+    via_tree = table.filter(to_spark(pred)).count()
+    via_sql = table.filter(
+        "((a < 30) OR (c <> 33)) AND NOT (b = 's6')"
+    ).count()
+    assert via_tree == via_sql
