@@ -120,10 +120,16 @@ def main() -> None:
     # north_rule compares against: compressed size (ours must be <=) and
     # single-node write throughput (ours should match or beat).
     with tempfile.TemporaryDirectory() as d:
-        out = f"{d}/ref"
-        t0 = time.time()
-        corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
-        extra["parquet_zstd_write_sec"] = round(time.time() - t0, 3)
+        # best-of-2, SAME protocol as the engine encode above — an
+        # asymmetric baseline (single-sample reference vs best-of-2
+        # engine) would bias the comparison on this throttling-prone host
+        t_ref = []
+        for attempt in range(2):
+            out = f"{d}/ref{attempt}"
+            t0 = time.time()
+            corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
+            t_ref.append(round(time.time() - t0, 3))
+        extra["parquet_zstd_write_sec"] = min(t_ref)
         extra["parquet_zstd_write_GBps"] = round(
             content_bytes / 1e9 / extra["parquet_zstd_write_sec"], 4
         )
@@ -135,7 +141,13 @@ def main() -> None:
     extra["encoded_vs_parquet_zstd"] = round(enc_bytes / pq_bytes, 4)
 
     def decode_verify():
-        dec = pes.decode(chunks)
+        # co-located no-shuffle decode: the chunk table is cached straight
+        # from encode, so every chunk's rows share a partition by
+        # construction — zero payload bytes cross the network
+        dec = pes.decode(
+            chunks, schema_cols=pes.schema_from_struct(corpus.schema),
+            colocated=True,
+        )
         assert pes.roundtrip_ok(corpus, dec), "round trip failed at bench scale"
 
     timed("decode_verify_corpus", decode_verify)

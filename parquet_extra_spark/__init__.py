@@ -9,7 +9,7 @@ Core API:
     column_profile(df) / infer_repetition(df)       -> per-column stats (O21)
 """
 
-from .engine.encoder import encode, recommend_salts
+from .engine.encoder import encode, encode_plan, recommend_salts, ChunkEncodeError
 from .engine.decoder import decode, discover_schema, check_colocated, ChunkDecodeError
 from .engine.verify import verify_roundtrip, roundtrip_ok
 from .engine.projection import project, project_chunks
@@ -50,11 +50,13 @@ from .plans import explain_summary, pushed_filters, read_schema
 
 __all__ = [
     "encode",
+    "encode_plan",
     "recommend_salts",
     "decode",
     "discover_schema",
     "check_colocated",
     "ChunkDecodeError",
+    "ChunkEncodeError",
     "verify_roundtrip",
     "roundtrip_ok",
     "project",

@@ -36,6 +36,10 @@ from ..codecs import typemap
 from . import stats as stats_mod
 from .chunk import CHUNK_ARROW_SCHEMA, CHUNK_SPARK_SCHEMA, chunk_uid, schema_fingerprint
 
+class ChunkEncodeError(RuntimeError):
+    """Write-side contract violation (required-field null, etc.)."""
+
+
 _BUCKET = "__pe_bucket"
 _SALT = "__pe_salt"
 
@@ -96,6 +100,7 @@ def _chunk_rows_batch(
     uid_namespace: str = "",
     schema_fp: str = "",
     display: list[str] | None = None,
+    required: set[str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
 
@@ -116,6 +121,14 @@ def _chunk_rows_batch(
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
         st = stats_mod.compute_stats(arr, dtype)
+        if required and col in required and st.null_count:
+            # write-time repetition enforcement — the reference rejects a
+            # null in a required field at write (Schema.java:95-128
+            # checkSize, tested ParquetExampleTest.scala:300-305)
+            raise ChunkEncodeError(
+                f"required column {labels[idx]!r} has {st.null_count} null"
+                f" value(s) in chunk (part_key={part_key!r} seq={seq})"
+            )
         hint, uses = memo.get(col, (None, 0))
         if forced_codec is not None:
             codec, payload = stats_mod.choose_and_encode(arr, dtype, st, forced_codec)
@@ -158,6 +171,7 @@ def _make_encode_fn(
     sort_cols: list[str] | None = None,
     uid_namespace: str = "",
     display: list[str] | None = None,
+    required: set[str] | None = None,
 ):
     schema_fp = schema_fingerprint(display or columns, uid_namespace)
 
@@ -185,7 +199,7 @@ def _make_encode_fn(
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
                 sort_cols=sort_cols, uid_namespace=uid_namespace,
-                schema_fp=schema_fp, display=display,
+                schema_fp=schema_fp, display=display, required=required,
             )
 
         for batch in batches:
@@ -250,6 +264,67 @@ def unit_exprs(
     return bucket_expr, salt_expr
 
 
+def encode_plan(
+    df: DataFrame,
+    partition_cols: list[str],
+    n_buckets: int = 64,
+    target_unit_share: float = 0.01,
+    max_salts: int = 64,
+) -> dict:
+    """Pre-encode skew/sizing plan from ONE source scan (north_rule:
+    'salting for skewed mega-repos', skew detected from the stats pass).
+
+    A single groupBy over the clustering key produces the key histogram;
+    every other fact — heaviest key, heaviest *bucket* (keys hashed with
+    the exact ``unit_exprs`` bucket function, so many small keys landing
+    in one bucket are accounted for), recommended salt count — derives
+    from that aggregated (small) frame without rescanning the source.
+
+    n_salts is sized so the heaviest (bucket, salt) WORK UNIT — a
+    bucket's rows split ~evenly across salts — is at most
+    ``target_unit_share`` of the table: no single task can serialize more
+    than that share of the encode. Returns
+    {n_rows, n_keys, max_key_share, max_bucket_share, n_salts}.
+    """
+    counts = (
+        df.groupBy(*[F.col(f"`{c}`") for c in partition_cols])
+        .count()
+        .withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(f"`{c}`") for c in partition_cols]),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    facts = counts.agg(
+        F.sum("count").alias("n"),
+        F.count("*").alias("n_keys"),
+        F.max("count").alias("max_key"),
+    ).collect()[0]
+    if not facts["n"]:
+        return {
+            "n_rows": 0, "n_keys": 0, "max_key_share": 0.0,
+            "max_bucket_share": 0.0, "n_salts": 1,
+        }
+    # second agg over the ALREADY-AGGREGATED key frame (tiny) — no rescan
+    bucket_max = (
+        counts.groupBy("__bucket").agg(F.sum("count").alias("bn"))
+        .agg(F.max("bn").alias("mx")).collect()[0]["mx"]
+    )
+    max_bucket_share = bucket_max / facts["n"]
+    salts = 1
+    while max_bucket_share / salts > target_unit_share and salts < max_salts:
+        salts *= 2
+    return {
+        "n_rows": facts["n"],
+        "n_keys": facts["n_keys"],
+        "max_key_share": facts["max_key"] / facts["n"],
+        "max_bucket_share": max_bucket_share,
+        "n_salts": salts,
+    }
+
+
 def recommend_salts(
     df: DataFrame,
     partition_cols: list[str],
@@ -257,29 +332,12 @@ def recommend_salts(
     target_unit_share: float = 0.01,
     max_salts: int = 64,
 ) -> int:
-    """Stats-driven salt count for skewed clustering keys (north_rule:
-    'salting for skewed mega-repos', skew detected from the stats pass —
-    the same one-aggregation shape as the O21 inference scan).
-
-    One groupBy over the clustering key finds the heaviest key's row
-    share; n_salts is sized so that (heaviest key / n_salts) is at most
-    ``target_unit_share`` of the table — i.e. no single work unit can
-    serialize more than ~1% of the job on one task. Returns a power of
-    two in [1, max_salts].
-    """
-    top = (
-        df.groupBy(*partition_cols)
-        .count()
-        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
-        .collect()[0]
-    )
-    if not top["n"]:
-        return 1
-    share = top["mx"] / top["n"]
-    salts = 1
-    while share / salts > target_unit_share and salts < max_salts:
-        salts *= 2
-    return salts
+    """Salt count bounding the heaviest (bucket, salt) unit at
+    ``target_unit_share`` of the table — see encode_plan (which this
+    wraps) for the one-scan derivation."""
+    return encode_plan(
+        df, partition_cols, n_buckets, target_unit_share, max_salts
+    )["n_salts"]
 
 
 def encode(
@@ -293,6 +351,7 @@ def encode(
     codec: str | None = None,
     num_partitions: int | None = None,
     uid_namespace: str = "",
+    expected_schema=None,
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
@@ -306,6 +365,11 @@ def encode(
     uid_namespace: isolates chunk ids of independent encode() calls whose
         chunk tables will be unioned (schema versions, multi-source
         merges); the decoder fails fast on colliding ids.
+    expected_schema: optional declared StructType. Column names/types are
+        validated against ``df`` at the driver; fields with
+        nullable=False are enforced AT WRITE TIME — a null in a required
+        column aborts the encode with ChunkEncodeError, the reference's
+        checkSize contract (Schema.java:95-128).
     """
     from .schema import validate_columns
 
@@ -321,6 +385,22 @@ def encode(
     # input columns by bare name and breaks on dots (nested-shred leaf
     # names like "address.zip", or any user column containing '.'). Encode
     # under positional aliases; chunk rows carry the true names (display).
+    required_names: set[str] = set()
+    if expected_schema is not None:
+        declared = {f.name: f for f in expected_schema.fields}
+        missing = [c for c in declared if c not in columns]
+        if missing:
+            raise ValueError(f"expected_schema columns not in DataFrame: {missing}")
+        for c, f in declared.items():
+            want = f.dataType.simpleString()
+            if dtypes_by_name[c] != want:
+                raise TypeError(
+                    f"expected_schema type mismatch for {c!r}: DataFrame has "
+                    f"{dtypes_by_name[c]}, declared {want}"
+                )
+            if not f.nullable:
+                required_names.add(c)
+
     safe = [f"__pe_v{i}" for i in range(len(columns))]
     s_of = dict(zip(columns, safe))
     work0 = df.select(*[F.col(f"`{c}`").alias(s) for c, s in zip(columns, safe)])
@@ -354,5 +434,6 @@ def encode(
     chunk_sort = [s_of[c] for c in list(partition_cols) + list(sort_cols or [])]
     fn = _make_encode_fn(safe, dtypes, chunk_rows, codec,
                          sort_cols=chunk_sort or None, uid_namespace=uid_namespace,
-                         display=columns)
+                         display=columns,
+                         required={s_of[c] for c in required_names} or None)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)

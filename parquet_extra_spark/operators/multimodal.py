@@ -74,7 +74,10 @@ def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _real_decode(kind: str, payload: bytes):  # pragma: no cover - container has no media libs
+def _real_decode_batch(kind: str, payloads: list[bytes]):  # pragma: no cover - container has no media libs
+    """Kernel entry point for a whole same-kind sub-batch. Real kernels
+    (PIL/ffmpeg/librosa) would decode the list in one vectorized call per
+    kind — the per-kind dispatch happens ONCE per batch, never per row."""
     raise NotImplementedError(
         f"real {kind} decoding requires PIL/ffmpeg/librosa, which are not "
         "installed in this environment; run with fake=True for the "
@@ -82,37 +85,49 @@ def _real_decode(kind: str, payload: bytes):  # pragma: no cover - container has
     )
 
 
-def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in feature: FEATURE_DIM moments of the byte
-    histogram — vectorized, stable, and discriminative enough for tests."""
-    a = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(a, minlength=256).astype(np.float64)
-    hist /= max(1.0, hist.sum())
-    return hist.reshape(FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=1).astype(np.float32)
+def _payload_bytes(col: pd.Series) -> list[bytes]:
+    return [bytes(x) if x is not None else b"" for x in col]
+
+
+def _fake_features_batch(payloads: list[bytes]) -> np.ndarray:
+    """Deterministic stand-in features for a WHOLE batch: per-row byte
+    histograms computed in one vectorized pass (concat buffer + segment
+    ids + np.add.at), then folded to FEATURE_DIM moments. No per-row
+    Python in the numeric path — the pattern real kernels must follow."""
+    n = len(payloads)
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    row_ids = np.repeat(np.arange(n), lens)
+    hist = np.zeros((n, 256), dtype=np.float64)
+    np.add.at(hist, (row_ids, buf), 1.0)
+    hist /= np.maximum(1.0, lens.astype(np.float64))[:, None]
+    return hist.reshape(n, FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=2).astype(np.float32)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Map-only Arrow-batched feature extraction — the blob never crosses a
     shuffle. With fake=False this raises NotImplementedError from the
-    executors (the real kernels need media libraries)."""
+    executors (the real kernels need media libraries). Batch-vectorized:
+    kind dispatch is per sub-batch, features are one numpy pass; only the
+    sha256 digest runs per value (cryptographic hashing has no batch API;
+    the work is C-level inside hashlib)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, shas, nb = [], [], []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                data = bytes(payload) if payload is not None else b""
-                if not fake:
-                    _real_decode(kind, data)
-                feats.append(_fake_feature(data))
-                shas.append(hashlib.sha256(data).hexdigest())
-                nb.append(len(data))
+            payloads = _payload_bytes(pdf["payload"])
+            if not fake:
+                for kind, sub in pdf.groupby("kind"):
+                    _real_decode_batch(kind, _payload_bytes(sub["payload"]))
+            feats = _fake_features_batch(payloads)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": nb,
-                    "sha256": shas,
-                    "feature": [f.tolist() for f in feats],
+                    "n_bytes": [len(b) for b in payloads],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in payloads],
+                    "feature": list(feats),
                 }
             )
 
@@ -141,15 +156,13 @@ def resize_stub(media: DataFrame, width: int, height: int, fake: bool = True) ->
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payloads = []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                data = bytes(payload) if payload is not None else b""
-                if not fake:
-                    _real_decode(kind, data)
-                # fake resize: deterministic content transform retaining magic
-                out_payloads.append(data[:4] + hashlib.sha256(data).digest())
+            payloads = _payload_bytes(pdf["payload"])
+            if not fake:
+                _real_decode_batch("image", payloads)
+            # fake resize: deterministic content transform retaining magic;
+            # sha256 is the only per-value step (no batch digest API)
             pdf = pdf.copy()
-            pdf["payload"] = out_payloads
+            pdf["payload"] = [b[:4] + hashlib.sha256(b).digest() for b in payloads]
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

