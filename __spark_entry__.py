@@ -211,6 +211,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_exact(_docs(spark, sf_dir), shingle=5, threshold=0.3)
 
 
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked SCALE path for n-gram Jaccard pairs (proposes via
+    banded minhash, disposes via exact Jaccard), value-checked end-to-end
+    via the md5 hash method."""
+    return ops.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, k=32, bands=16, hash_method="md5"
+    )
+
+
+def q_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed SCALE path for embedding near-neighbour pairs
+    (random-hyperplane signatures -> bucket join -> exact cosine verify),
+    value-checked against a full SQL replica of the same planes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 8 planes: the fixture's similarities top out near cosine 0.5, so
+    # 16-bit signatures would never collide — recall targets mid-range here
+    return ops.cosine_pairs_lsh(emb, threshold=0.3, n_planes=8)
+
+
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding cosine >= 0.3 (oracle baseline of the
     LSH-bucketed scale path cosine_pairs_lsh)."""
@@ -396,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "cosine_lsh": q_cosine_lsh,
         "ann_topk": q_ann_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "events_hourly": q_events_hourly,
@@ -553,6 +574,83 @@ FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
 """
 
 
+
+
+def _ngram_lsh_oracle() -> str:
+    """SQL replica of ngram_jaccard_pairs(hash_method="md5", k=32,
+    bands=16, shingle=5, threshold=0.5): banded minhash proposes, exact
+    Jaccard disposes — identical candidate set and values."""
+    from parquet_extra_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET, _P, _hash_params,
+    )
+
+    k, bands, thr = 32, 16, 0.5
+    rows = k // bands
+    params = _hash_params(k)
+    base = _MD5_INT.format(x="x")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> ((x % {_P}) * {a} + {b}) % {_P}))"
+        for a, b in params
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || ',' || ".join(
+            f"sig[{b * rows + r + 1}]::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(f"SELECT id, {b} AS band, md5({key}) AS bhash FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    jac = (
+        "len(list_intersect(a.s, b2.s))::DOUBLE /"
+        " len(list_distinct(list_concat(a.s, b2.s)))"
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS id, {_SHINGLES_SQL} AS s FROM documents),
+h AS (SELECT id, s, list_transform(s, x -> {base}) AS hs FROM sh),
+sig AS (SELECT id, [{sig_exprs}] AS sig FROM h),
+bands AS ({bands_sql}),
+ok AS (SELECT band, bhash FROM bands GROUP BY 1, 2
+       HAVING count(*) <= {DEFAULT_MAX_BUCKET}),
+kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bhash)),
+cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM kept l
+         JOIN kept r ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id)
+SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b2 ON b2.id = c.id_b
+WHERE {jac} >= {thr}
+"""
+
+
+def _cosine_lsh_oracle() -> str:
+    """SQL replica of cosine_pairs_lsh(threshold=0.3, n_planes=16,
+    n_tables=4, dim=64): the same seeded hyperplanes as SQL literals,
+    sign-bit signatures, capped bucket join, exact cosine verify."""
+    from parquet_extra_spark.operators.similarity import _planes
+
+    n_planes, n_tables, dim, thr, cap = 8, 4, 64, 0.3, 10_000
+    table_selects = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=42 + t)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(w)) for w in plane)
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        table_selects.append(f"SELECT id, {t} AS tbl, ({bits})::BIGINT AS sig FROM v")
+    sigs_sql = " UNION ALL ".join(table_selects)
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS ({sigs_sql}),
+ok AS (SELECT tbl, sig FROM sigs GROUP BY 1, 2 HAVING count(*) <= {cap}),
+kept AS (SELECT s.* FROM sigs s JOIN ok USING (tbl, sig)),
+cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM kept l
+         JOIN kept r ON l.tbl = r.tbl AND l.sig = r.sig AND l.id < r.id)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {thr}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     profile_union = " UNION ALL ".join(
         f"""SELECT '{c}' AS column, 'string' AS dtype,
@@ -687,6 +785,8 @@ def oracle_sql() -> dict[str, str]:
             f" {_ANN_QUERY_SQL}), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, id LIMIT 20"
         ),
+        "ngram_jaccard_lsh": _ngram_lsh_oracle(),
+        "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
     }

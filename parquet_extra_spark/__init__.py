@@ -29,7 +29,13 @@ from .engine.predicate import (
     prune_chunks,
     pushdown_stats_pred,
 )
-from .engine.checkpoint import encode_to, read_chunks, load_manifest, metrics
+from .engine.checkpoint import (
+    encode_to,
+    read_chunks,
+    decode_checkpoint,
+    load_manifest,
+    metrics,
+)
 from .engine.nested import (
     shred,
     unshred,
@@ -75,6 +81,7 @@ __all__ = [
     "pushdown_stats_pred",
     "encode_to",
     "read_chunks",
+    "decode_checkpoint",
     "load_manifest",
     "metrics",
     "shred",

@@ -142,6 +142,31 @@ def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     ).drop("run_id")
 
 
+def decode_checkpoint(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    **decode_kwargs,
+) -> DataFrame:
+    """Decode a checkpointed chunk table, using the no-shuffle co-located
+    path when the file layout allows it.
+
+    The encode tasks write whole chunks contiguously, so a checkpoint
+    read is usually co-located — but Spark may split large files at
+    row-group boundaries (spark.sql.files.maxPartitionBytes), breaking a
+    chunk across input partitions. ``check_colocated`` verifies with a
+    metadata-only aggregation (payload column pruned from that scan); on
+    failure this falls back to the shuffling decode. At 100 TB the check
+    costs a scan of one id column; the win is not shuffling 100 TB."""
+    from .decoder import check_colocated, decode
+
+    chunks = read_chunks(spark, out_dir)
+    colocated = decode_kwargs.pop("colocated", None)
+    if colocated is None:
+        colocated = check_colocated(chunks)
+    return decode(chunks, columns=columns, colocated=colocated, **decode_kwargs)
+
+
 def metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-partition codec/size metrics table (north_rule lineage+metrics)."""
     return (

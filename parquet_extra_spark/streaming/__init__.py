@@ -1,3 +1,9 @@
 from .encode_stream import encode_stream, stream_from_directory
+from .dedup_stream import dedup_stream, ingest_stats_stream
 
-__all__ = ["encode_stream", "stream_from_directory"]
+__all__ = [
+    "encode_stream",
+    "stream_from_directory",
+    "dedup_stream",
+    "ingest_stats_stream",
+]

@@ -94,3 +94,55 @@ def test_auto_selection_always_roundtrips(values):
     codec, payload = S.choose_and_encode(arr, "string", stt)
     out = decode_array(payload, "string", codec)
     assert out.to_pylist() == arr.to_pylist(), codec
+
+
+opt_decimal = st.lists(
+    st.none()
+    | st.decimals(
+        min_value="-9999999999.99", max_value="9999999999.99", places=2,
+        allow_nan=False, allow_infinity=False,
+    ),
+    min_size=0,
+    max_size=120,
+)
+opt_str_list = st.lists(
+    st.none() | st.lists(st.none() | st.text(max_size=12), max_size=8),
+    min_size=0,
+    max_size=60,
+)
+opt_bool_list = st.lists(
+    st.none() | st.lists(st.none() | st.booleans(), max_size=8),
+    min_size=0,
+    max_size=60,
+)
+opt_int32_list = st.lists(
+    st.none()
+    | st.lists(st.none() | st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8),
+    min_size=0,
+    max_size=60,
+)
+
+
+@_settings
+@given(opt_decimal)
+def test_decimal_property(values):
+    rt(values, pa.decimal128(12, 2), "decimal(12,2)",
+       ["dict", "rle", "raw", "for", "delta"])
+
+
+@_settings
+@given(opt_str_list)
+def test_array_string_property(values):
+    rt(values, pa.list_(pa.string()), "array<string>", ["list"])
+
+
+@_settings
+@given(opt_bool_list)
+def test_array_boolean_property(values):
+    rt(values, pa.list_(pa.bool_()), "array<boolean>", ["list"])
+
+
+@_settings
+@given(opt_int32_list)
+def test_array_int_property(values):
+    rt(values, pa.list_(pa.int32()), "array<int>", ["list"])

@@ -176,3 +176,21 @@ def test_required_field_write_enforcement(spark):
     with pytest.raises(ValueError, match="not in DataFrame"):
         pes.encode(good, expected_schema=T.StructType(
             [T.StructField("nope", T.LongType(), True)]))
+
+
+def test_decode_checkpoint_auto_colocation(spark, docs, tmp_path):
+    """Checkpoint write -> decode_checkpoint picks the no-shuffle path when
+    the file layout preserves chunk contiguity, and stays correct either
+    way."""
+    out = str(tmp_path / "enc")
+    pes.encode_to(docs, out, partition_cols=["lang"], chunk_rows=64,
+                  n_buckets=4, n_salts=2, num_partitions=8)
+    dec = pes.decode_checkpoint(spark, out)
+    assert pes.roundtrip_ok(docs, dec)
+    # explicit override still works
+    dec2 = pes.decode_checkpoint(spark, out, colocated=False)
+    assert pes.roundtrip_ok(docs, dec2)
+    # projection through the checkpoint path
+    proj = pes.decode_checkpoint(spark, out, columns=["doc_id", "lang"])
+    assert sorted(proj.columns) == ["doc_id", "lang"]
+    assert proj.count() == docs.count()
