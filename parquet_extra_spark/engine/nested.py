@@ -22,15 +22,18 @@ Avro/Spark field names):
     a#def       struct a presence (null tracking)      boolean
     a[].b       field b of each element of array a     array<dtype of b>
     a[]#def     element presence per slot of array a   array<boolean>
+    m#keys      keys of map m                          array<key dtype>
+    m#vals      values of map m                        array<value dtype>
 
 Null semantics preserved exactly (the reference's union-[T,null]
 projection, Projection.scala:75-84 / O4): a null struct, a null array,
-an empty array, a null element, and a null field are all distinct and
-round-trip losslessly — presence leaves carry the definition levels,
+an empty array, a null map, a null element, and a null field are all
+distinct and round-trip losslessly — presence leaves carry the definition levels,
 the null-ness of lifted leaf arrays carries array null-ness (transform
-propagates null). Unsupported shapes (array<array<...>>, map) raise
-TypeError at shred time, mirroring the reference's unsupported-schema
-errors (Schema.java:82-93 rejects nested groups it cannot type).
+propagates null). Maps shred to parallel key/value arrays. Unsupported
+shapes (containers nested inside array/map elements) raise TypeError at
+shred time, mirroring the reference's unsupported-schema errors
+(Schema.java:82-93 rejects nested groups it cannot type).
 """
 
 from __future__ import annotations
@@ -41,6 +44,8 @@ from ..codecs import typemap
 
 _DEF = "#def"
 _ARR = "[]"
+_KEYS = "#keys"
+_VALS = "#vals"
 
 
 def _q(name: str) -> Column:
@@ -71,6 +76,16 @@ def _walk_scalar(expr: Column, dt: T.DataType, name: str, out: list) -> None:
         out.append((name + _DEF, "boolean", expr.isNotNull()))
         for f in dt.fields:
             _walk_scalar(expr.getField(f.name), f.dataType, f"{name}.{f.name}", out)
+    elif isinstance(dt, T.MapType):
+        # map -> parallel (keys, vals) lifted arrays; map_keys/map_values
+        # share iteration order, map_from_arrays restores it. Primitive
+        # keys/values only (the engine's array element lanes).
+        _lifted_dtype(dt.keyType, name + _KEYS)
+        _lifted_dtype(dt.valueType, name + _VALS)
+        out.append((name + _KEYS, f"array<{dt.keyType.simpleString()}>",
+                    F.map_keys(expr)))
+        out.append((name + _VALS, f"array<{dt.valueType.simpleString()}>",
+                    F.map_values(expr)))
     elif isinstance(dt, T.ArrayType):
         et = dt.elementType
         if isinstance(et, T.StructType):
@@ -86,8 +101,10 @@ def _walk_scalar(expr: Column, dt: T.DataType, name: str, out: list) -> None:
                     f"{name}{_ARR}.{f.name}",
                     out,
                 )
-        elif isinstance(et, T.ArrayType):
-            raise TypeError(f"array<array<...>> not supported at {name!r}")
+        elif isinstance(et, (T.ArrayType, T.MapType)):
+            raise TypeError(
+                f"array<{et.simpleString()}> (nested containers) not supported at {name!r}"
+            )
         else:
             out.append((name, _lifted_dtype(et, name), expr))
     else:
@@ -97,6 +114,8 @@ def _walk_scalar(expr: Column, dt: T.DataType, name: str, out: list) -> None:
 def _walk_array(arr: Column, elem_fn, dt: T.DataType, name: str, out: list) -> None:
     """Leaves of a field *inside array elements*: every leaf lifts to an
     array (one slot per element) via one Catalyst transform."""
+    if isinstance(dt, T.MapType):
+        raise TypeError(f"map nested inside array elements not supported at {name!r}")
     if isinstance(dt, T.StructType):
         out.append(
             (name + _DEF, "array<boolean>",
@@ -142,6 +161,8 @@ def shred_schema(schema: T.StructType) -> list[tuple[str, int, str]]:
 
 
 def _rebuild_scalar(dt: T.DataType, name: str) -> Column:
+    if isinstance(dt, T.MapType):
+        return F.map_from_arrays(_q(name + _KEYS), _q(name + _VALS))
     if isinstance(dt, T.StructType):
         st = F.struct(
             *[
@@ -225,7 +246,7 @@ def leaves_for(schema: T.StructType, path: str) -> list[str]:
     prefix = _subtree_prefix(schema, path)
     # reuse the shred walkers on a dummy expr purely for names/dtypes
     tmp: list = []
-    if isinstance(dt, T.StructType) or (
+    if isinstance(dt, (T.StructType, T.MapType)) or (
         isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
     ):
         _walk_scalar(F.lit(None), dt, prefix, tmp)

@@ -161,3 +161,40 @@ def test_dotted_user_columns_encode(spark):
                      colocated=True)
     assert sorted(out.columns) == ["a.b", "c d"]
     assert pes.roundtrip_ok(df, out)
+
+
+def test_map_columns_roundtrip(spark):
+    """Map columns shred to parallel key/value arrays and round-trip
+    through the engine, preserving null map vs empty map."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("nested", T.StructType([
+            T.StructField("inner", T.MapType(T.StringType(), T.StringType())),
+        ])),
+    ])
+    rows = [
+        Row(k=1, m={"a": 1, "b": 2}, nested=Row(inner={"x": "y"})),
+        Row(k=2, m={}, nested=Row(inner=None)),
+        Row(k=3, m=None, nested=None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    flat = N.shred(df)
+    assert "m#keys" in flat.columns and "nested.inner#vals" in flat.columns
+    chunks = N.encode_nested(df, chunk_rows=8, n_buckets=2, n_salts=1,
+                             num_partitions=2)
+    out = {r["k"]: r for r in N.decode_nested(chunks, schema, colocated=True).collect()}
+    assert out[1]["m"] == {"a": 1, "b": 2}
+    assert out[1]["nested"]["inner"] == {"x": "y"}
+    assert out[2]["m"] == {} and out[2]["nested"]["inner"] is None
+    assert out[3]["m"] is None and out[3]["nested"] is None
+    # map leaf projection
+    proj = N.decode_nested(chunks, schema, paths=["k", "m"], colocated=True)
+    assert {r["k"]: r["m"] for r in proj.collect()}[1] == {"a": 1, "b": 2}
+
+
+def test_map_in_array_rejected(spark):
+    bad = T.StructType([T.StructField(
+        "a", T.ArrayType(T.MapType(T.StringType(), T.LongType())))])
+    with pytest.raises(TypeError):
+        N.shred_plan(bad)
