@@ -263,7 +263,9 @@ def q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, partition_cols=["event_type"], sort_cols=["ts"],
         chunk_rows=4096, n_buckets=4, n_salts=2, num_partitions=8,
     )
-    dec = pes.decode(chunks)
+    dec = pes.decode(
+        chunks, schema_cols=pes.schema_from_struct(ev.schema), colocated=True
+    )
     return dec.select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -281,7 +283,9 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = pes.encode(
         emb, chunk_rows=4096, n_buckets=4, n_salts=2, num_partitions=8
     )
-    dec = pes.decode(chunks)
+    dec = pes.decode(
+        chunks, schema_cols=pes.schema_from_struct(emb.schema), colocated=True
+    )
     return dec.select(
         "vec_id",
         "label",

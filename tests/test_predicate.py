@@ -113,3 +113,49 @@ def test_to_spark_matches_sql_semantics(table):
         "((a < 30) OR (c <> 33)) AND NOT (b = 's6')"
     ).count()
     assert via_tree == via_sql
+
+
+def test_random_trees_match_plain_filters(table, chunks):
+    """Seeded random predicate trees: filter_decode_pred must equal the
+    plain DataFrame filter for every tree — the property form of
+    PredicateTest.scala's golden-construction suite."""
+    import random
+
+    from parquet_extra_spark.engine.predicate import (
+        And, Cmp, IsIn, IsNull, Not, NotNull, Or, to_spark,
+    )
+
+    rng = random.Random(7)
+    cols = [("a", list(range(0, 100, 7))), ("k", [5, 500, 1500, 1999]),
+            ("c", [33, 600, 3000]), ("b", [f"s{i}" for i in range(7)])]
+
+    def leaf():
+        c, vals = rng.choice(cols)
+        kind = rng.randrange(5)
+        if kind == 0:
+            return IsNull(c)
+        if kind == 1:
+            return NotNull(c)
+        if kind == 2:
+            return IsIn(c, tuple(rng.sample(vals, k=min(2, len(vals)))))
+        op = rng.choice(["gt", "ge", "lt", "le", "eq", "ne"])
+        return Cmp(op, c, rng.choice(vals))
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        kind = rng.randrange(3)
+        if kind == 0:
+            return And(tree(depth - 1), tree(depth - 1))
+        if kind == 1:
+            return Or(tree(depth - 1), tree(depth - 1))
+        return Not(tree(depth - 1))
+
+    for i in range(12):
+        pred = tree(3)
+        got = pes.filter_decode_pred(chunks, pred, columns=["k"], colocated=True)
+        want = table.filter(to_spark(pred)).select("k")
+        got_n, want_n = got.count(), want.count()
+        assert got_n == want_n, (i, pred, got_n, want_n)
+        if want_n:
+            assert pes.roundtrip_ok(want, got), (i, pred)
