@@ -100,35 +100,33 @@ def main() -> None:
         n_buckets=cpus, n_salts=1,
     ).count()
 
-    # best-of-2: the sandbox host shows multi-minute throttling windows
-    # (identical jobs vary 2-4x); a single sample can record the window,
-    # not the engine (see bench/scaling.py + BENCH/BASELINE.md)
-    first = timed("encode_corpus", encode_corpus)
-    t_first = timings["encode_corpus"]
-    first.unpersist()
-    chunks = timed("encode_corpus", encode_corpus)
-    if timings["encode_corpus"] > t_first:
-        timings["encode_corpus"] = t_first
-    extra["encode_GBps"] = round(content_bytes / 1e9 / timings["encode_corpus"], 4)
-    extra["raw_gb"] = round(content_bytes / 1e9, 3)
-
-    enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
+    # INTERLEAVED best-of-2: the sandbox host shows multi-minute
+    # throttling windows (identical jobs vary 2-4x), so the engine encode
+    # and the parquet+zstd reference write alternate samples — both sides
+    # see the same windows, keeping the throughput comparison fair (see
+    # bench/scaling.py + BENCH/BASELINE.md). The reference write is what
+    # the reference library produces via parquet-mr; it gives BOTH
+    # north_rule baselines: compressed size (ours must be <=) and
+    # single-node write throughput (ours should match or beat).
     import tempfile
 
-    # reference write path on identical data: Parquet + zstd (what the
-    # reference library produces via parquet-mr). Gives BOTH baselines the
-    # north_rule compares against: compressed size (ours must be <=) and
-    # single-node write throughput (ours should match or beat).
+    chunks = None
     with tempfile.TemporaryDirectory() as d:
-        # best-of-2, SAME protocol as the engine encode above — an
-        # asymmetric baseline (single-sample reference vs best-of-2
-        # engine) would bias the comparison on this throttling-prone host
-        t_ref = []
+        t_enc, t_ref = [], []
         for attempt in range(2):
+            # unpersist BEFORE re-encoding: the identical logical plan
+            # would otherwise be served from the CacheManager and the
+            # "sample" would time a cache read
+            if chunks is not None:
+                chunks.unpersist()
+            t0 = time.time()
+            chunks = encode_corpus()
+            t_enc.append(round(time.time() - t0, 3))
             out = f"{d}/ref{attempt}"
             t0 = time.time()
             corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
             t_ref.append(round(time.time() - t0, 3))
+        timings["encode_corpus"] = min(t_enc)
         extra["parquet_zstd_write_sec"] = min(t_ref)
         extra["parquet_zstd_write_GBps"] = round(
             content_bytes / 1e9 / extra["parquet_zstd_write_sec"], 4
@@ -138,6 +136,9 @@ def main() -> None:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+    extra["encode_GBps"] = round(content_bytes / 1e9 / timings["encode_corpus"], 4)
+    extra["raw_gb"] = round(content_bytes / 1e9, 3)
+    enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
     extra["encoded_vs_parquet_zstd"] = round(enc_bytes / pq_bytes, 4)
 
     def decode_verify():

@@ -198,3 +198,15 @@ def test_map_in_array_rejected(spark):
         "a", T.ArrayType(T.MapType(T.StringType(), T.LongType())))])
     with pytest.raises(TypeError):
         N.shred_plan(bad)
+
+
+def test_predicate_pushdown_on_nested_leaves(users, chunks):
+    """Predicate trees work on shredded leaf columns (dotted names): the
+    chunk-stats skip + exact recheck composes with nesting — EP2 over the
+    User shape."""
+    pred = pes.P.eq("address.zip", "11111") | pes.P.is_null("address.zip")
+    out = pes.filter_decode_pred(
+        chunks, pred, columns=["id", "address.zip"], colocated=True
+    )
+    got = {(r["id"], r["address.zip"]) for r in out.collect()}
+    assert got == {(1, "11111"), (3, None)}
