@@ -200,6 +200,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.brute_force_topk(emb, q, k=20)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbour top-k (the index-structured scale
+    path next to brute_force_topk): deterministic spherical centroids,
+    probe-4-of-16 cells, exact cosine inside probed cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]  # same as ann_topk
+    return ops.ivf_topk(emb, q, k=20, nprobe=4)
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining quality heuristics (length/punct/stopword ratios)."""
     return ops.quality_scores(_docs(spark, sf_dir))
@@ -422,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "cosine_lsh": q_cosine_lsh,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "events_hourly": q_events_hourly,
         "roundtrip_events": q_roundtrip_events,
@@ -655,6 +665,32 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {thr}
 """
 
 
+
+
+def _ivf_oracle() -> str:
+    """SQL replica of ivf_topk(k=20, nprobe=4, n_centroids=16): identical
+    centroid literals, argmax cell assignment, probe set, cosine order."""
+    import numpy as np
+
+    from parquet_extra_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16, 7)
+    q = np.array([((i * 37) % 17 - 8) / 10.0 for i in range(64)])
+    probes = (np.argsort(-(cents @ q))[:4] + 1).tolist()
+    dots = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(float(w)) for w in c) + "])"
+        for c in cents
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT id, v, [{dots}] AS dots FROM v),
+a AS (SELECT id, v, list_position(dots, list_max(dots)) AS cell FROM d)
+SELECT id, round(list_cosine_similarity(v, {_ANN_QUERY_SQL}), 6) AS cosine
+FROM a WHERE cell IN ({", ".join(str(x) for x in probes)})
+ORDER BY cosine DESC, id LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     profile_union = " UNION ALL ".join(
         f"""SELECT '{c}' AS column, 'string' AS dtype,
@@ -789,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             f" {_ANN_QUERY_SQL}), 6) AS cosine"
             " FROM embeddings ORDER BY cosine DESC, id LIMIT 20"
         ),
+        "ivf_topk": _ivf_oracle(),
         "ngram_jaccard_lsh": _ngram_lsh_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),

@@ -12,6 +12,8 @@ from .dedup import (
 from .similarity import (
     brute_force_topk,
     cosine_pairs_exact,
+    ivf_assign,
+    ivf_topk,
     cosine_pairs_lsh,
     embedding_near_dups,
 )
@@ -33,6 +35,8 @@ __all__ = [
     "ngram_jaccard_exact",
     "ngram_jaccard_pairs",
     "brute_force_topk",
+    "ivf_assign",
+    "ivf_topk",
     "cosine_pairs_exact",
     "cosine_pairs_lsh",
     "embedding_near_dups",

@@ -158,6 +158,75 @@ def cosine_pairs_lsh(
     )
 
 
+def _ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical centroids (seeded unit vectors). Data-
+    independent on purpose: assignments are reproducible across engines
+    and runs with no training pass — the IVF cell structure is a fixed
+    Voronoi partition of the unit sphere, the index analogue of the
+    engine's deterministic hash bucketing."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """-> (id, cell, v): each vector assigned to its max-dot-product
+    centroid (1-based cell index; first occurrence wins ties). One scan,
+    centroids inlined as literals — no shuffle, no training job."""
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[_dot(v, F.array(*[F.lit(float(w)) for w in c])) for c in cents]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+        v.alias("v"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe cells nearest the query,
+    exact cosine inside them only.
+
+    The scale path vs brute_force_topk: at 100 TB the assignment column
+    is computed once at ingest (ivf_assign persisted alongside the
+    vectors, or recovered from the chunk table), and a query scans
+    ~nprobe/n_centroids of the data — partition pruning for vectors.
+    Recall is tunable via nprobe (nprobe == n_centroids -> exact)."""
+    dim = len(query)
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    q = np.asarray(query, dtype=np.float64)
+    probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed)
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .select(
+            "id",
+            F.round(cosine(F.col("v"), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
