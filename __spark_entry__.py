@@ -183,6 +183,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash per document (one Catalyst
+    aggregate over the char sequence; incremental-update fingerprint)."""
+    return ops.rolling_fingerprints(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
     return ops.token_counts(_docs(spark, sf_dir))
@@ -424,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_segments": q_order_segments,
         "dedup_stats": q_dedup_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
@@ -759,6 +766,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id AS id,"
             " md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint"
+            " FROM documents"
+        ),
+        "rolling_fingerprint": (
+            "SELECT doc_id AS id,"
+            " list_reduce(list_transform(range(1, greatest(length(text), 1) + 1),"
+            " i -> unicode(substring(text, i::INT, 1))::BIGINT),"
+            " (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp"
             " FROM documents"
         ),
         "token_counts": (

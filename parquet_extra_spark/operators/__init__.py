@@ -22,6 +22,7 @@ from .textstats import (
     quality_scores,
     lang_id,
     doc_fingerprints,
+    rolling_fingerprints,
 )
 
 __all__ = [
@@ -44,4 +45,5 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "doc_fingerprints",
+    "rolling_fingerprints",
 ]

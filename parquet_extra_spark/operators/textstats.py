@@ -110,3 +110,34 @@ def doc_fingerprints(
     return df.select(
         F.col(id_col).alias("id"), F.md5(normalized).alias("fingerprint")
     )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base: int = 131,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """-> (id, rolling_fp): polynomial rolling hash of the whole document,
+    h = fold(h * base + codepoint) mod p — the Rabin-Karp fingerprint,
+    computed as ONE Catalyst aggregate over the character sequence (JVM
+    loop, no Python). Windowed variants reuse the same recurrence over
+    shingles (see operators/dedup._shingles); the whole-document hash is
+    the canonical incremental-ingest fingerprint: appending a suffix
+    updates it in O(suffix), unlike md5.
+
+    Bound: acc < mod < 2^31 and codepoints < 2^21, so acc*base + c < 2^39
+    — safe under ANSI long arithmetic. Reproducible in ANSI SQL
+    (list_reduce + unicode()) for the oracle."""
+    c = F.col(f"`{text_col}`")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.ascii(c.substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("rolling_fp"))

@@ -1,9 +1,11 @@
 from .encode_stream import encode_stream, stream_from_directory
 from .dedup_stream import dedup_stream, ingest_stats_stream
+from .stateful import running_totals_stream
 
 __all__ = [
     "encode_stream",
     "stream_from_directory",
     "dedup_stream",
     "ingest_stats_stream",
+    "running_totals_stream",
 ]

@@ -162,3 +162,42 @@ def test_streaming_ingest_stats_windows(spark, tmp_path):
     # must be consistent per (window, lang)
     assert all(r["n_docs"] > 0 and r["n_bytes"] > 0 for r in got)
     assert {r["lang"] for r in got} <= {"en", "de"}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState custom operator: cumulative per-key totals
+    survive across micro-batches via the state store."""
+    from parquet_extra_spark.streaming import running_totals_stream
+
+    src = str(tmp_path / "landing3")
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i % 5), ["en", "de"][i % 2]) for i in range(40)],
+        "doc_id bigint, text string, lang string",
+    )
+    docs.write.parquet(src)
+    stream = stream_from_directory(
+        spark, src, "doc_id bigint, text string, lang string"
+    )
+    totals = running_totals_stream(stream, key_col="lang")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("rt_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["key"]: (r["n_docs"], r["n_bytes"])
+        for r in spark.sql(
+            "SELECT key, max(n_docs) n_docs, max(n_bytes) n_bytes"
+            " FROM rt_totals GROUP BY key"
+        ).collect()
+    }
+    expect = {}
+    for i in range(40):
+        k = ["en", "de"][i % 2]
+        n, b = expect.get(k, (0, 0))
+        expect[k] = (n + 1, b + 10 + i % 5)
+    assert got == expect
