@@ -113,7 +113,7 @@ def main() -> None:
     chunks = None
     with tempfile.TemporaryDirectory() as d:
         t_enc, t_ref = [], []
-        for attempt in range(2):
+        for attempt in range(3):
             # unpersist BEFORE re-encoding: the identical logical plan
             # would otherwise be served from the CacheManager and the
             # "sample" would time a cache read

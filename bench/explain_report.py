@@ -102,6 +102,21 @@ def main() -> None:
         formatted(pruned) + "\n\nassertions: " + json.dumps(explain_summary(pruned)),
     ))
 
+    from parquet_extra_spark import operators as ops
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    ivf = ops.ivf_topk(emb, q, k=20, nprobe=4)
+    sections.append((
+        "IVF top-k (probe 4 of 16 cells)",
+        "One scan: cell assignment and the probe filter are inline "
+        "Catalyst expressions over literal centroids (no training job, "
+        "no join); TakeOrderedAndProject ranks without a full sort. With "
+        "the assignment persisted at ingest this becomes partition "
+        "pruning over vectors.",
+        formatted(ivf),
+    ))
+
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     seg = (

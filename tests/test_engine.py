@@ -250,3 +250,21 @@ def test_decode_error_context(spark, corpus_chunks):
     )
     with pytest.raises(Exception, match="chunk_id"):
         pes.decode(bad).count()
+
+
+def test_empty_input_encode_decode(spark):
+    """Empty source: encode yields an empty chunk table; decode with
+    caller-supplied schema_cols returns an empty, correctly-typed frame;
+    decode without schema fails fast with a clear error."""
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "k long, v string")
+    chunks = pes.encode(empty, chunk_rows=8, n_buckets=2, n_salts=1,
+                        num_partitions=2)
+    assert chunks.count() == 0
+    sc = pes.schema_from_struct(empty.schema)
+    out = pes.decode(chunks, schema_cols=sc, colocated=True)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    with _pytest.raises(pes.ChunkDecodeError, match="empty chunk table"):
+        pes.decode(chunks)
