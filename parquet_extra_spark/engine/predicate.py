@@ -184,7 +184,18 @@ def _typed(col: Column, dtype: str) -> Column:
         return col.cast("timestamp")
     if dtype == "date":
         return col.cast("date")
+    if dtype == "boolean":
+        return col.cast("int")  # stats store booleans as "0"/"1"
     return col
+
+
+def _typed_value(v, dtype: str):
+    """Literal on the stats side of a comparison. Booleans become 0/1 to
+    match the stored "0"/"1" stats (a bare True literal would string-
+    compare as "true" and silently mis-prune)."""
+    if dtype == "boolean" and isinstance(v, bool):
+        return F.lit(int(v))
+    return F.lit(v)
 
 
 def _stat_cols(c: str, dtype: str) -> tuple[Column, Column, Column, Column]:
@@ -199,7 +210,7 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
     """-> (possible, certain) boolean Columns over the wide stats frame."""
     if isinstance(pred, Cmp):
         mn, mx, nc, nv = _stat_cols(pred.column, dtypes[pred.column])
-        v = F.lit(pred.value)
+        v = _typed_value(pred.value, dtypes[pred.column])
         has_non_null = nc < nv
         no_nulls = nc == F.lit(0)
         if pred.op == "gt":

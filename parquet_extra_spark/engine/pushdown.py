@@ -35,7 +35,18 @@ def _typed_stat(col: Column, dtype: str) -> Column:
         return col.cast("timestamp")
     if dtype == "date":
         return col.cast("date")
+    if dtype == "boolean":
+        return col.cast("int")  # stats store booleans as "0"/"1"
     return col  # strings compare lexically
+
+
+def _typed_bound(v, dtype: str):
+    """Bound literal matching _typed_stat's comparison domain. Booleans
+    become 0/1 (a bare True literal would string-compare as "true" and
+    silently mis-prune)."""
+    if dtype == "boolean" and isinstance(v, bool):
+        return F.lit(int(v))
+    return F.lit(v)
 
 
 def chunk_range_filter(
@@ -64,9 +75,9 @@ def chunk_range_filter(
     keep = F.lit(True)
     if lower is not None:
         # chunk max < lower → provably no match; NULL max = unbounded → keep
-        keep = keep & (mx.isNull() | (mx >= F.lit(lower)))
+        keep = keep & (mx.isNull() | (mx >= _typed_bound(lower, dtype)))
     if upper is not None:
-        keep = keep & (mn.isNull() | (mn <= F.lit(upper)))
+        keep = keep & (mn.isNull() | (mn <= _typed_bound(upper, dtype)))
     surviving = stat_rows.filter(keep).select("chunk_id")
     return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
 
@@ -89,7 +100,8 @@ def chunk_isin_filter(
     mx = _typed_stat(F.col("max_val"), dtype)
     any_in = None
     for v in values:
-        hit = (mn.isNull() | (mn <= F.lit(v))) & (mx.isNull() | (mx >= F.lit(v)))
+        vl = _typed_bound(v, dtype)
+        hit = (mn.isNull() | (mn <= vl)) & (mx.isNull() | (mx >= vl))
         any_in = hit if any_in is None else (any_in | hit)
     surviving = stat_rows.filter(any_in).select("chunk_id")
     return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")

@@ -159,3 +159,31 @@ def test_random_trees_match_plain_filters(table, chunks):
         assert got_n == want_n, (i, pred, got_n, want_n)
         if want_n:
             assert pes.roundtrip_ok(want, got), (i, pred)
+
+
+def test_boolean_predicate_pushdown_sound(spark):
+    """Boolean stats are stored as "0"/"1": a True/False literal must not
+    silently mis-prune (it would string-compare as "true")."""
+    from pyspark.sql import Row
+
+    # rows pre-clustered by flag so 50-row chunks are flag-pure and the
+    # min/max stats can actually skip (in-chunk sorting alone cannot
+    # cluster across chunk boundaries)
+    rows = [Row(k=i, flag=True) for i in range(100)]
+    rows += [Row(k=100 + i, flag=False) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    chunks = pes.encode(df, chunk_rows=50, n_buckets=1,
+                        n_salts=1, num_partitions=1).cache()
+    got_t = pes.filter_decode_pred(chunks, P.eq("flag", True), colocated=True)
+    assert got_t.count() == 100
+    got_f = pes.filter_decode_pred(chunks, P.eq("flag", False), colocated=True)
+    assert got_f.count() == 200
+    got_ne = pes.filter_decode_pred(chunks, P.ne("flag", True), colocated=True)
+    assert got_ne.count() == 200
+    # range helper too
+    rng = pes.filter_decode(chunks, "flag", lower=True, upper=True)
+    assert rng.count() == 100
+    # sorted by flag + 50-row chunks -> stats actually skip
+    st = pes.pushdown_stats_pred(chunks, P.eq("flag", True))
+    assert st["chunks_skipped"] > 0
+    chunks.unpersist()
