@@ -60,6 +60,17 @@ def _minmax_strings(arr: pa.Array, dtype: str) -> tuple[str | None, str | None]:
             mn, mx = mn.decode(), mx.decode()
         except UnicodeDecodeError:
             return None, None
+    if isinstance(mn, float):
+        import math
+
+        # NaN poisons Arrow's min_max (any NaN -> mn = mx = NaN) and a
+        # NaN stat compares false against every bound, which would prune
+        # chunks that contain real matching values. NaN/inf bounds are
+        # stored as NULL = unbounded (sound, never skips).
+        if math.isnan(mn) or math.isinf(mn):
+            return (None, str(mx) if math.isfinite(mx) else None)
+        if math.isnan(mx) or math.isinf(mx):
+            return (str(mn), None)
     mn_s, mx_s = str(mn), str(mx)
     if dtype in typemap.STRLIKE_DTYPES:
         if len(mn_s) > _STR_TRUNC:

@@ -187,3 +187,34 @@ def test_boolean_predicate_pushdown_sound(spark):
     st = pes.pushdown_stats_pred(chunks, P.eq("flag", True))
     assert st["chunks_skipped"] > 0
     chunks.unpersist()
+
+
+def test_nan_float_chunks_not_mispruned(spark):
+    """A chunk containing NaN must stay reachable: NaN min/max stats are
+    stored as NULL (unbounded), never compared."""
+    import math
+
+    from pyspark.sql import Row
+
+    rows = [Row(k=i, x=float(i)) for i in range(100)]
+    rows += [Row(k=100 + i, x=float("nan") if i % 2 else 500.0 + i)
+             for i in range(50)]
+    df = spark.createDataFrame(rows)
+    chunks = pes.encode(df, chunk_rows=25, n_buckets=1, n_salts=1,
+                        num_partitions=1).cache()
+    # 500.x values live in chunks that also contain NaN. Spark orders NaN
+    # ABOVE every value, so x >= 500 matches the 25 reals + 25 NaNs; the
+    # contract is equality with the plain DataFrame filter, and before
+    # the fix those chunks were skipped entirely (0 rows).
+    want = df.filter(F.col("x") >= 500.0).count()
+    got = pes.filter_decode_pred(chunks, P.ge("x", 500.0), colocated=True)
+    assert got.count() == want == 50
+    got2 = pes.filter_decode(chunks, "x", lower=500.0, upper=None)
+    assert got2.count() == want
+    # NaN itself: SQL comparisons never match NaN via >=; exact equality
+    # via isNotNull minus ranges — just check decode round-trips NaN
+    dec = pes.decode(chunks, schema_cols=pes.schema_from_struct(df.schema),
+                     colocated=True)
+    n_nan = dec.filter("isnan(x)").count()
+    assert n_nan == 25
+    chunks.unpersist()
