@@ -93,27 +93,60 @@ def main() -> None:
         c.count()
         return c
 
-    # warm-up: spin up python workers / JIT / page cache so the measured
-    # number reflects steady-state throughput, not first-task overheads
+    # warm-up at FULL size: the first full-size run of each job pays JVM
+    # JIT (C2 compilation of the codegen'd exchange/scan stages), Python
+    # worker spawn + numpy/pyarrow imports, and page-cache faults — on
+    # this host that's a measured 31.5s first encode vs 2.5-3.0s steady
+    # state (cache_cost.py run table, 2026-08-17). A 10k-row warmup does
+    # NOT warm the full path (different batch shapes compile different
+    # code). Both the engine and the comparator get one untimed full run.
     pes.encode(
-        corpus.limit(10000), partition_cols=["repo", "lang"], chunk_rows=4096,
-        n_buckets=cpus, n_salts=1,
+        corpus, partition_cols=["repo", "lang"], sort_cols=["commit", "path"],
+        chunk_rows=chunk_rows, n_buckets=cpus, n_salts=2,
+        num_partitions=cpus * 2,
     ).count()
 
-    # INTERLEAVED best-of-2: the sandbox host shows multi-minute
-    # throttling windows (identical jobs vary 2-4x), so the engine encode
-    # and the parquet+zstd reference write alternate samples — both sides
-    # see the same windows, keeping the throughput comparison fair (see
-    # bench/scaling.py + BENCH/BASELINE.md). The reference write is what
-    # the reference library produces via parquet-mr; it gives BOTH
-    # north_rule baselines: compressed size (ours must be <=) and
-    # single-node write throughput (ours should match or beat).
+    # INTERLEAVED repeats, TWO parquet-zstd comparators. The sandbox host
+    # shows multi-minute throttling windows (identical jobs vary 2-10x;
+    # BENCH/BASELINE.md records full run tables), so a short best-of-3 can
+    # sit entirely inside one slow window — round 2's committed artifact
+    # did exactly that (encode 11.0s vs the same engine's 2.5-3.0s in a
+    # fast window the same day). Protocol: every attempt runs the engine
+    # encode AND both reference writes back-to-back, >=5 attempts, and the
+    # loop extends (up to 9) until the best engine sample and the best
+    # reference sample are window-consistent (pairwise ratio close to the
+    # best-vs-best ratio).
+    #
+    # Comparators, both reported:
+    #  * parquet_zstd_write: the SAME JOB via parquet-mr — clustering
+    #    repartition on the (repo,lang) hash bucket + salt, sort within
+    #    partitions, zstd parquet write. This is what the reference stack
+    #    does to produce the clustered layout the north_rule mandates for
+    #    the engine (explicit repartitioning + salting), so it is the
+    #    apples-to-apples throughput baseline.
+    #  * parquet_zstd_plain_write: corpus.write.parquet with NO
+    #    clustering shuffle (the layout-free floor). Also the SIZE
+    #    baseline: encoded_vs_parquet_zstd uses ITS bytes, the
+    #    conservative choice (a clustered parquet write compresses
+    #    better, i.e. comparing our clustered bytes against unclustered
+    #    parquet makes the <=1.0 bound harder, not easier).
     import tempfile
 
+    bucket = F.pmod(F.xxhash64("repo", "lang"), F.lit(cpus))
+    salt = F.pmod(F.xxhash64(F.col("path")), F.lit(2))
+    with tempfile.TemporaryDirectory() as warm:
+        (
+            corpus.repartition(cpus * 2, bucket, salt)
+            .sortWithinPartitions("repo", "lang", "commit", "path")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(f"{warm}/w")
+        )
     chunks = None
+    t_start = time.time()
     with tempfile.TemporaryDirectory() as d:
-        t_enc, t_ref = [], []
-        for attempt in range(3):
+        t_enc, t_ref, t_plain = [], [], []
+        for attempt in range(9):
             # unpersist BEFORE re-encoding: the identical logical plan
             # would otherwise be served from the CacheManager and the
             # "sample" would time a cache read
@@ -122,15 +155,44 @@ def main() -> None:
             t0 = time.time()
             chunks = encode_corpus()
             t_enc.append(round(time.time() - t0, 3))
-            out = f"{d}/ref{attempt}"
+            t0 = time.time()
+            (
+                corpus.repartition(cpus * 2, bucket, salt)
+                .sortWithinPartitions("repo", "lang", "commit", "path")
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(f"{d}/ref{attempt}")
+            )
+            t_ref.append(round(time.time() - t0, 3))
+            out = f"{d}/plain{attempt}"
             t0 = time.time()
             corpus.write.mode("overwrite").option("compression", "zstd").parquet(out)
-            t_ref.append(round(time.time() - t0, 3))
+            t_plain.append(round(time.time() - t0, 3))
+            if attempt >= 4:
+                # stop once the comparison is window-consistent: some
+                # single attempt ran BOTH jobs near their respective
+                # bests, i.e. the two reported minima come from
+                # comparable host windows and neither is a lucky outlier
+                consistent = any(
+                    e <= min(t_enc) * 1.3 and r <= min(t_ref) * 1.3
+                    for e, r in zip(t_enc, t_ref)
+                )
+                if consistent or time.time() - t_start > 420:
+                    break
         timings["encode_corpus"] = min(t_enc)
         extra["parquet_zstd_write_sec"] = min(t_ref)
         extra["parquet_zstd_write_GBps"] = round(
             content_bytes / 1e9 / extra["parquet_zstd_write_sec"], 4
         )
+        extra["parquet_zstd_plain_write_sec"] = min(t_plain)
+        extra["parquet_zstd_plain_write_GBps"] = round(
+            content_bytes / 1e9 / extra["parquet_zstd_plain_write_sec"], 4
+        )
+        extra["encode_vs_ref_pairwise"] = round(
+            min(e / r for e, r in zip(t_enc, t_ref)), 4
+        )
+        extra["encode_attempts"] = t_enc
+        extra["parquet_zstd_attempts"] = t_ref
         pq_bytes = sum(
             os.path.getsize(os.path.join(out, f))
             for f in os.listdir(out)

@@ -42,6 +42,7 @@ from .engine.nested import (
     shred_schema,
     encode_nested,
     decode_nested,
+    filter_decode_nested,
     project_nested,
 )
 from .functions.inference import column_profile, infer_repetition
@@ -89,6 +90,7 @@ __all__ = [
     "shred_schema",
     "encode_nested",
     "decode_nested",
+    "filter_decode_nested",
     "project_nested",
     "column_profile",
     "infer_repetition",

@@ -103,7 +103,7 @@ _WORK_COLS = (
 )
 
 
-def _make_decode_fn(cols: list[tuple[str, int, str]]):
+def _make_decode_fn(cols: list[tuple[str, int, str]], nullable_ok: frozenset[str] = frozenset()):
     names = [c for c, _, _ in cols]
     dtypes = {c: d for c, _, d in cols}
     arrow_schema = pa.schema([(c, typemap.spark_to_arrow(dtypes[c])) for c in names])
@@ -134,10 +134,17 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
                 f" chunk_id={cid} columns={dupes}"
             )
         by_col = {}
+        n_anchor: int | None = None
         for col, codec, payload, n_values, pk in zip(
             rows["column"], rows["codec"], rows["payload"], rows["n_values"],
             rows["part_key"],
         ):
+            if col not in dtypes:
+                # anchor row: kept in the scan only so chunks that predate a
+                # newly-added column still report their row count — its
+                # payload is never decoded
+                n_anchor = n_values
+                continue
             try:
                 arr = decode_array(payload, dtypes[col], codec)
             except Exception as e:  # noqa: BLE001 — re-raise with chunk context (O28)
@@ -151,11 +158,25 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
                 )
             by_col[col] = arr
         missing = [c for c in names if c not in by_col]
-        if missing:
+        hard_missing = [c for c in missing if c not in nullable_ok]
+        if hard_missing:
             raise ChunkDecodeError(
-                f"chunk {cid} missing columns {missing} "
+                f"chunk {cid} missing columns {hard_missing} "
                 f"(decode of data written without them — incompatible schema)"
             )
+        if missing:
+            # read-time evolution: a chunk written before an OPTIONAL column
+            # was added materializes it as all-null — the reference reads old
+            # files with a widened schema the same way (new optional/repeated
+            # field -> absent, ParquetExampleTest.scala:300-318 r6/r7; only a
+            # new REQUIRED field errors, r5 — the hard_missing branch above)
+            n = len(next(iter(by_col.values()))) if by_col else n_anchor
+            if n is None:
+                raise ChunkDecodeError(
+                    f"chunk {cid} has no decodable columns and no anchor row"
+                )
+            for c in missing:
+                by_col[c] = pa.nulls(n, type=typemap.spark_to_arrow(dtypes[c]))
         lens = {len(by_col[c]) for c in names}
         if len(lens) > 1:
             raise ChunkDecodeError(f"column length skew in chunk {cid}: {lens}")
@@ -194,23 +215,50 @@ def _make_decode_fn(cols: list[tuple[str, int, str]]):
 def _validate_expected(
     schema_cols: list[tuple[str, int, str]],
     expected: "T.StructType | list[tuple[str, int, str]]",
-) -> None:
-    """By-schema read validation (ExampleParquetReader.java:41-45 withSchema):
-    every expected column must exist in the chunk table with the same dtype."""
+) -> tuple[list[tuple[str, int, str]], frozenset[str]]:
+    """By-schema read validation (ExampleParquetReader.java:41-45 withSchema).
+
+    Every expected column must exist in the chunk table with the same
+    dtype — EXCEPT a nullable (optional) column, which may be absent and
+    then reads as all-null, the reference's widened-schema read contract
+    (ParquetExampleTest.scala:300-318: a new optional/repeated field reads
+    as absent on old files, r6/r7; a new required field fails, r5).
+    Nullability is only expressible through the StructType form; the
+    [(name, idx, dtype)] tuple form stays strict.
+
+    Returns (schema_cols possibly extended with absent optional columns,
+    frozenset of column names allowed to materialize as null when a chunk
+    lacks them).
+    """
     from .schema import from_struct
 
-    exp = from_struct(expected) if isinstance(expected, T.StructType) else expected
+    if isinstance(expected, T.StructType):
+        exp = from_struct(expected)
+        nullable = {f.name for f in expected.fields if f.nullable}
+    else:
+        exp = expected
+        nullable = set()
     have = {c: d for c, _, d in schema_cols}
+    out = list(schema_cols)
+    next_idx = max((i for _, i, _ in schema_cols), default=-1) + 1
     for name, _, dt in exp:
         if name not in have:
+            if name in nullable and typemap.is_supported(dt):
+                out.append((name, next_idx, dt))
+                next_idx += 1
+                continue
             raise ChunkDecodeError(
                 f"expected_schema column {name!r} not present in chunk table"
+                " (only a nullable/optional column may be absent and read"
+                " as null — the reference fails a new required field the"
+                " same way, ParquetExampleTest.scala r5)"
             )
         if have[name] != dt:
             raise ChunkDecodeError(
                 f"expected_schema type mismatch for {name!r}: "
                 f"chunk table has {have[name]}, caller expects {dt}"
             )
+    return out, frozenset(nullable)
 
 
 def decode(
@@ -250,15 +298,26 @@ def decode(
         raise ChunkDecodeError(
             "empty chunk table and no schema_cols given — cannot derive output schema"
         )
+    nullable_ok: frozenset[str] = frozenset()
     if expected_schema is not None:
-        _validate_expected(schema_cols, expected_schema)
+        schema_cols, nullable_ok = _validate_expected(schema_cols, expected_schema)
     known = {c for c, _, _ in schema_cols}
     if columns is not None:
         unknown = [c for c in columns if c not in known]
         if unknown:
             raise ValueError(f"projection references unknown columns: {unknown}")
         schema_cols = [t for t in schema_cols if t[0] in set(columns)]
-        chunks = chunks.filter(F.col("column").isin(list(columns)))
+        if nullable_ok.intersection(columns):
+            # evolution-aware projection: chunks written before an optional
+            # column existed have NO row for it — keep each chunk's col_idx 0
+            # row as an anchor (row count only, payload never decoded) so
+            # those chunks still contribute all-null rows instead of
+            # silently vanishing from the result
+            chunks = chunks.filter(
+                F.col("column").isin(list(columns)) | (F.col("col_idx") == 0)
+            )
+        else:
+            chunks = chunks.filter(F.col("column").isin(list(columns)))
 
     if colocated:
         # no shuffle: chunks already co-located per partition; the sort is
@@ -270,5 +329,5 @@ def decode(
             chunks.repartition(n_part, "chunk_id")
             .sortWithinPartitions("chunk_id", "col_idx")
         )
-    fn = _make_decode_fn(schema_cols)
+    fn = _make_decode_fn(schema_cols, nullable_ok)
     return work.mapInArrow(fn, schema=_spark_schema(schema_cols))

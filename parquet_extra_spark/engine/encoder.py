@@ -178,24 +178,33 @@ def _make_encode_fn(
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
-        cur_key: tuple[int, int] | None = None
-        buf: list[pa.Table] = []
-        buf_rows = 0
+        # Per-(bucket, salt) buffers: the exchange hash-partitions rows on
+        # the unit key but rows of a unit arrive INTERLEAVED across input
+        # batches — regrouping happens here, columnar, instead of a JVM
+        # sortWithinPartitions. That JVM sort buffered+spilled the entire
+        # task input through UnsafeExternalSorter (a full extra ser/deser
+        # pass over the wide content bytes) just to make units contiguous;
+        # a dict of per-unit Arrow-slice lists achieves the same grouping
+        # with zero extra copies. Memory stays bounded: a unit flushes the
+        # moment it reaches chunk_rows, and the number of open units per
+        # task is ~n_units/num_partitions (small by construction).
+        bufs: dict[tuple[int, int], list[pa.Table]] = {}
+        buf_rows: dict[tuple[int, int], int] = {}
         seqs: dict[tuple[int, int], int] = {}
         memo: dict = {}  # per-column codec cache for this task
 
-        def flush():
-            nonlocal buf, buf_rows
-            if not buf_rows:
+        def flush(key: tuple[int, int]) -> pa.RecordBatch | None:
+            parts = bufs.pop(key, None)
+            n = buf_rows.pop(key, 0)
+            if not n:
                 return None
-            bucket, salt = cur_key
-            seq = seqs.get(cur_key, 0)
-            seqs[cur_key] = seq + 1
+            bucket, salt = key
+            seq = seqs.get(key, 0)
+            seqs[key] = seq + 1
             # zero-copy concat; per-column combining happens lazily — either
             # in _sort_table's take (one move for wide columns) or in
             # _chunk_rows_batch's _as_array per column
-            table = pa.concat_tables(buf)
-            buf, buf_rows = [], 0
+            table = pa.concat_tables(parts)
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
                 sort_cols=sort_cols, uid_namespace=uid_namespace,
@@ -210,32 +219,36 @@ def _make_encode_fn(
             buckets = _as_array(table.column(_BUCKET)).to_numpy(zero_copy_only=False)
             salts = _as_array(table.column(_SALT)).to_numpy(zero_copy_only=False)
             combo = buckets.astype(np.int64) * 1_000_003 + salts.astype(np.int64)
+            # order rows by unit key within the batch (stable), then cut at
+            # key-change boundaries: one argsort + at most one take per
+            # batch, after which each unit's rows append as zero-copy slices
+            if (np.diff(combo) != 0).any():
+                order = np.argsort(combo, kind="stable")
+                combo = combo[order]
+                buckets, salts = buckets[order], salts[order]
+                table = table.take(pa.array(order))
             starts = np.flatnonzero(np.diff(combo, prepend=combo[0] - 1))
             ends = np.append(starts[1:], n)
             for start, end in zip(starts.tolist(), ends.tolist()):
                 seg = table.slice(start, end - start)
                 key = (int(buckets[start]), int(salts[start]))
-                if cur_key is not None and key != cur_key:
-                    out = flush()
-                    if out is not None:
-                        yield out
-                cur_key = key
-                buf.append(seg)
-                buf_rows += end - start
-                while buf_rows >= chunk_rows:
+                bufs.setdefault(key, []).append(seg)
+                buf_rows[key] = buf_rows.get(key, 0) + (end - start)
+                while buf_rows.get(key, 0) >= chunk_rows:
                     # split an oversized buffer exactly at chunk_rows
-                    merged = pa.concat_tables(buf)
+                    merged = pa.concat_tables(bufs[key])
                     head = merged.slice(0, chunk_rows)
                     tail = merged.slice(chunk_rows)
-                    buf, buf_rows = [head], chunk_rows
-                    out = flush()
+                    bufs[key], buf_rows[key] = [head], chunk_rows
+                    out = flush(key)
                     if out is not None:
                         yield out
                     if len(tail):
-                        buf, buf_rows = [tail], len(tail)
-        out = flush()
-        if out is not None:
-            yield out
+                        bufs[key], buf_rows[key] = [tail], len(tail)
+        for key in sorted(bufs):
+            out = flush(key)
+            if out is not None:
+                yield out
 
     return encode_fn
 
@@ -297,22 +310,30 @@ def encode_plan(
             ),
         )
     )
-    facts = counts.agg(
-        F.sum("count").alias("n"),
-        F.count("*").alias("n_keys"),
-        F.max("count").alias("max_key"),
-    ).collect()[0]
+    # ONE action: per-bucket partials first, then the global facts — the
+    # key histogram is scanned once and never recomputed (a second .agg
+    # action on the uncached `counts` would rerun the full source scan)
+    facts = (
+        counts.groupBy("__bucket")
+        .agg(
+            F.sum("count").alias("bn"),
+            F.count("*").alias("nk"),
+            F.max("count").alias("mk"),
+        )
+        .agg(
+            F.sum("bn").alias("n"),
+            F.sum("nk").alias("n_keys"),
+            F.max("mk").alias("max_key"),
+            F.max("bn").alias("bucket_max"),
+        )
+        .collect()[0]
+    )
     if not facts["n"]:
         return {
             "n_rows": 0, "n_keys": 0, "max_key_share": 0.0,
             "max_bucket_share": 0.0, "n_salts": 1,
         }
-    # second agg over the ALREADY-AGGREGATED key frame (tiny) — no rescan
-    bucket_max = (
-        counts.groupBy("__bucket").agg(F.sum("count").alias("bn"))
-        .agg(F.max("bn").alias("mx")).collect()[0]["mx"]
-    )
-    max_bucket_share = bucket_max / facts["n"]
+    max_bucket_share = facts["bucket_max"] / facts["n"]
     salts = 1
     while max_bucket_share / salts > target_unit_share and salts < max_salts:
         salts *= 2
@@ -423,13 +444,15 @@ def encode(
     # tail that caps scaling efficiency; finer tasks let the scheduler
     # re-balance — the same tasks-per-slot rule used on real clusters.
     n_part = num_partitions or spark.sparkContext.defaultParallelism * 4
+    # ONE exchange, NO JVM sort. Unit contiguity is restored Python-side in
+    # encode_fn (per-unit Arrow buffers): a JVM sortWithinPartitions on the
+    # unit keys — even int-only — buffers and re-serializes every task's
+    # full input through UnsafeExternalSorter before the Arrow conversion,
+    # a whole extra pass over the wide content bytes. Value ordering for
+    # RLE happens columnar *inside each chunk* (_sort_table); row order
+    # across chunks of a unit carries no information (chunk stats and
+    # decode are order-free).
     work = work.repartition(n_part, _BUCKET, _SALT)
-    # JVM sort on the two int unit keys ONLY — just enough for group
-    # contiguity. Value ordering for RLE happens columnar *inside each
-    # chunk* (_sort_table): sorting full rows here would move the wide
-    # content strings through the row-wise sorter, the single most
-    # expensive non-scaling step measured (9s vs 2.3s on 0.5GB/32 cores).
-    work = work.sortWithinPartitions(_BUCKET, _SALT)
 
     chunk_sort = [s_of[c] for c in list(partition_cols) + list(sort_cols or [])]
     fn = _make_encode_fn(safe, dtypes, chunk_rows, codec,

@@ -219,18 +219,8 @@ def _resolve(schema: T.StructType, path: str) -> T.DataType:
 
 def _subtree_prefix(schema: T.StructType, path: str) -> str:
     """Leaf-name prefix of a dotted path: array descents insert '[]'."""
+    out: list[str] = []
     dt: T.DataType = schema
-    parts = []
-    for seg in path.split("."):
-        if isinstance(dt, T.ArrayType):
-            dt = dt.elementType
-        dt = dt[seg].dataType
-        parts.append(seg)
-        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
-            pass  # '[]' is appended by the NEXT descent (or by leaves_for)
-    # rebuild with '[]' markers
-    out = []
-    dt = schema
     for seg in path.split("."):
         if isinstance(dt, T.ArrayType):
             dt = dt.elementType
@@ -300,4 +290,82 @@ def decode_nested(
         need.extend(leaves_for(schema, p))
     need = list(dict.fromkeys(need))
     flat = decode(chunks, columns=need, schema_cols=schema_cols, colocated=colocated)
+    return project_nested(flat, schema, paths)
+
+
+def _rewrite_pred_paths(pred, schema: T.StructType) -> "object":
+    """Predicate over dotted user paths -> predicate over shredded leaf
+    names. Only scalar leaves NOT inside arrays are comparable row-wise
+    (an array-lifted leaf holds one array per row, not one value), so
+    paths whose leaf name carries an '[]' marker, or that resolve to a
+    container, are rejected — the same shape restriction the reference's
+    Avro predicates have (Predicate.scala compiles comparisons on scalar
+    fields reached through records, Predicate.scala:47-183)."""
+    from dataclasses import replace
+
+    from .predicate import And, Cmp, IsIn, IsNull, Not, NotNull, Or
+
+    def leaf_of(path: str) -> str:
+        dt = _resolve(schema, path)
+        if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            raise ValueError(
+                f"predicate path {path!r} resolves to a container"
+                f" ({dt.simpleString()}) — predicates apply to scalar leaves"
+            )
+        leaf = _subtree_prefix(schema, path)
+        if _ARR in leaf:
+            raise ValueError(
+                f"predicate path {path!r} descends through an array —"
+                " per-element predicates are not expressible as a chunk"
+                " filter (one row holds many element values)"
+            )
+        return leaf
+
+    def walk(p):
+        if isinstance(p, (Cmp, IsIn, IsNull, NotNull)):
+            return replace(p, column=leaf_of(p.column))
+        if isinstance(p, (And, Or)):
+            return replace(p, left=walk(p.left), right=walk(p.right))
+        if isinstance(p, Not):
+            return replace(p, child=walk(p.child))
+        raise TypeError(f"not a Pred: {p!r}")
+
+    return walk(pred)
+
+
+def filter_decode_nested(
+    chunks: DataFrame,
+    schema: T.StructType,
+    pred,
+    paths: list[str] | None = None,
+    colocated: bool = False,
+) -> DataFrame:
+    """Predicate pushdown THROUGH nesting + nested projection in one call
+    — the chunk-engine composition of the reference's Avro projection and
+    predicate modules (Projection.scala:53-107 + Predicate.scala:47-183,
+    which compose over nested records via dotted getter paths).
+
+    ``pred`` is a ``P`` tree whose column names are dotted user paths
+    (e.g. ``P.gt("stats.n_orders", 3)``); they are rewritten to shredded
+    leaf names, pushed down to chunk stats (prune), decoded with leaf
+    projection, exactly re-checked row-wise, and reassembled to the
+    requested ``paths`` (None = the full nested shape).
+    """
+    from .decoder import decode
+    from .predicate import prune_chunks, referenced_columns, to_spark
+
+    leaf_pred = _rewrite_pred_paths(pred, schema)
+    schema_cols = shred_schema(schema)
+    pruned = prune_chunks(chunks, leaf_pred, schema_cols)
+    pred_leaves = sorted(referenced_columns(leaf_pred))
+    if paths is None:
+        flat = decode(pruned, schema_cols=schema_cols, colocated=colocated)
+        flat = flat.filter(to_spark(leaf_pred))
+        return unshred(flat, schema)
+    need: list[str] = []
+    for p in paths:
+        need.extend(leaves_for(schema, p))
+    need = list(dict.fromkeys(need + pred_leaves))
+    flat = decode(pruned, columns=need, schema_cols=schema_cols, colocated=colocated)
+    flat = flat.filter(to_spark(leaf_pred))
     return project_nested(flat, schema, paths)

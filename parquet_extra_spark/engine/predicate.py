@@ -99,27 +99,44 @@ class P:
     """Factory namespace: ``P.gt("n_chars", 150) & (P.eq("lang", "en") | ~P.eq("source", "web"))``."""
 
     @staticmethod
+    def _ordered(op, c, v):
+        if v is None:
+            raise ValueError(
+                f"P.{op}({c!r}, None): ordering against a NULL literal is"
+                " always false — use P.is_null/P.not_null for null tests"
+            )
+        return Cmp(op, c, v)
+
+    @staticmethod
     def gt(c, v):
-        return Cmp("gt", c, v)
+        return P._ordered("gt", c, v)
 
     @staticmethod
     def ge(c, v):
-        return Cmp("ge", c, v)
+        return P._ordered("ge", c, v)
 
     @staticmethod
     def lt(c, v):
-        return Cmp("lt", c, v)
+        return P._ordered("lt", c, v)
 
     @staticmethod
     def le(c, v):
-        return Cmp("le", c, v)
+        return P._ordered("le", c, v)
 
     @staticmethod
     def eq(c, v):
+        # null-literal equality means IS NULL, matching the reference's
+        # null predicates (Predicate.scala:120-127: eq(col, null) compiles
+        # to an is-null check, tested PredicateTest.scala:76-100) — a raw
+        # Cmp against a NULL literal would silently match nothing
+        if v is None:
+            return IsNull(c)
         return Cmp("eq", c, v)
 
     @staticmethod
     def ne(c, v):
+        if v is None:
+            return NotNull(c)
         return Cmp("ne", c, v)
 
     @staticmethod
@@ -308,7 +325,11 @@ def prune_chunks(
     possible, _ = _eval_stats(pred, dtypes)
     # null-safe keep: an unexpectedly NULL verdict must keep the chunk
     surviving = stats.filter(F.coalesce(possible, F.lit(True))).select("chunk_id")
-    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+    # AQE-decided semi-join (no forced broadcast): an unselective predicate
+    # at 100 TB keeps billions of chunk ids — see pushdown.semi_join_surviving
+    from .pushdown import semi_join_surviving
+
+    return semi_join_surviving(chunks, surviving)
 
 
 def filter_decode_pred(

@@ -49,6 +49,22 @@ def _typed_bound(v, dtype: str):
     return F.lit(v)
 
 
+def semi_join_surviving(chunks: DataFrame, surviving: DataFrame) -> DataFrame:
+    """Semi-join the full chunk rows against a surviving chunk-id set.
+
+    Deliberately NO broadcast hint: a selective predicate leaves a tiny
+    survivor set and AQE converts this to a broadcast semi-join at
+    runtime from the set's *actual* materialized size — but an
+    UNselective predicate over a 100 TB chunk table can keep billions of
+    ids, and a forced ``F.broadcast`` would collect them all to the
+    driver (OOM). Letting AQE decide gives the broadcast plan exactly
+    when it is safe and a shuffled semi-join otherwise; either way each
+    chunk's rows stay in one partition (hash on chunk_id), so
+    ``decode(colocated=True)`` stays valid downstream.
+    """
+    return chunks.join(surviving, "chunk_id", "left_semi")
+
+
 def chunk_range_filter(
     chunks: DataFrame,
     column: str,
@@ -60,8 +76,7 @@ def chunk_range_filter(
     [lower, upper] on `column`. Either bound may be None (unbounded).
 
     Returns the *full* chunk rows (all columns) of surviving chunks —
-    a semi-join on chunk_id, broadcast-friendly at scale because the
-    surviving-id set is tiny relative to the chunk table.
+    an AQE-decided semi-join on chunk_id (see semi_join_surviving).
     """
     if dtype is None:
         dtype = dict(
@@ -79,7 +94,7 @@ def chunk_range_filter(
     if upper is not None:
         keep = keep & (mn.isNull() | (mn <= _typed_bound(upper, dtype)))
     surviving = stat_rows.filter(keep).select("chunk_id")
-    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+    return semi_join_surviving(chunks, surviving)
 
 
 def chunk_isin_filter(
@@ -104,7 +119,7 @@ def chunk_isin_filter(
         hit = (mn.isNull() | (mn <= vl)) & (mx.isNull() | (mx >= vl))
         any_in = hit if any_in is None else (any_in | hit)
     surviving = stat_rows.filter(any_in).select("chunk_id")
-    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+    return semi_join_surviving(chunks, surviving)
 
 
 def filter_decode_isin(
@@ -155,7 +170,7 @@ def chunk_null_filter(
     else:
         keep = F.col("null_count") < F.col("n_values")
     surviving = stat_rows.filter(keep).select("chunk_id")
-    return chunks.join(F.broadcast(surviving), "chunk_id", "left_semi")
+    return semi_join_surviving(chunks, surviving)
 
 
 def filter_decode_null(

@@ -266,8 +266,11 @@ def choose_and_encode(
     the same winner in practice (chunks are clustered+sorted, so a
     prefix shares the full chunk's value/run structure — the same
     locality assumption the per-task codec memo already relies on).
-    The winner's full payload, not the sample's, is what gets stored, so
-    correctness and the raw fallback bound are unaffected."""
+    The per-chunk 'at worst zstd-of-raw' bound survives sampling: when
+    the sampled winner is not raw, raw is ALSO encoded full-size and the
+    smaller payload kept. Non-raw winners are dict/rle/for-shaped
+    columns (narrow), so the guard's extra zstd pass is cheap exactly
+    where it runs; wide high-entropy columns pick raw and pay nothing."""
     if forced is not None:
         return forced, encode_array_fn(arr, dtype, forced)
     cands = _candidates(arr, dtype, stats)
@@ -280,7 +283,12 @@ def choose_and_encode(
             size = len(encode_array_fn(sample, dtype, codec))
             if best_size is None or size < best_size:
                 best_codec, best_size = codec, size
-        return best_codec, encode_array_fn(arr, dtype, best_codec)
+        payload = encode_array_fn(arr, dtype, best_codec)
+        if best_codec != "raw":
+            raw_payload = encode_array_fn(arr, dtype, "raw")
+            if len(raw_payload) < len(payload):
+                return "raw", raw_payload
+        return best_codec, payload
     best_codec, best_payload = None, None
     for codec in cands:
         payload = encode_array_fn(arr, dtype, codec)

@@ -48,13 +48,16 @@ def ingest_stats_stream(
     stream_df: DataFrame,
     ts_col: str = "ts",
     key_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
     window: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Watermarked windowed ingest rollup: (window, key) -> rows/bytes.
 
     The streaming analogue of the engine's codec-metrics table: emits one
-    row per closed window per key with arrival counts and payload bytes,
+    row per closed window per key with arrival counts and payload bytes
+    (of ``text_col``) and approximate distinct ids (of ``id_col``),
     suitable for append-mode sinks (watermark closes windows, so results
     are final when emitted)."""
     return (
@@ -62,8 +65,8 @@ def ingest_stats_stream(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(f"`{key_col}`"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.octet_length("text")).alias("n_bytes"),
-            F.approx_count_distinct("doc_id").alias("n_distinct_ids"),
+            F.sum(F.octet_length(F.col(f"`{text_col}`"))).alias("n_bytes"),
+            F.approx_count_distinct(F.col(f"`{id_col}`")).alias("n_distinct_ids"),
         )
         .select(
             F.col("win.start").alias("window_start"),

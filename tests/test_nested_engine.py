@@ -210,3 +210,51 @@ def test_predicate_pushdown_on_nested_leaves(users, chunks):
     )
     got = {(r["id"], r["address.zip"]) for r in out.collect()}
     assert got == {(1, "11111"), (3, None)}
+
+
+def test_filter_decode_nested_with_paths(users, chunks):
+    """filter_decode_nested: dotted-path predicate -> leaf rewrite ->
+    prune -> decode -> exact recheck -> nested projection, one call
+    (Projection.scala + Predicate.scala composed over nested records)."""
+    out = pes.filter_decode_nested(
+        chunks, USER_SCHEMA, pes.P.eq("address.zip", "11111"),
+        paths=["id", "address.geo"], colocated=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 1
+    assert rows[0]["address.geo"]["lat"] == 1.5
+
+
+def test_filter_decode_nested_full_shape(users, chunks):
+    """paths=None reassembles the full nested row for matching rows."""
+    out = pes.filter_decode_nested(
+        chunks, USER_SCHEMA, pes.P.not_null("address.city") & pes.P.gt("id", 1),
+        colocated=True,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {4}
+    assert rows[4]["address"]["zip"] == "44444"
+
+
+def test_filter_decode_nested_prunes_chunks(users, chunks):
+    """The dotted-path predicate actually skips chunks via stats (the
+    pushdown is real, not just a post-filter)."""
+    from parquet_extra_spark.engine.nested import _rewrite_pred_paths
+
+    leaf_pred = _rewrite_pred_paths(pes.P.eq("id", -999), USER_SCHEMA)
+    stats = pes.pushdown_stats_pred(chunks, leaf_pred, N.shred_schema(USER_SCHEMA))
+    assert stats["chunks_kept"] == 0 and stats["chunks_total"] > 0
+
+
+def test_filter_decode_nested_rejects_array_paths(users, chunks):
+    """Per-element predicates through arrays are rejected loudly, and
+    container paths are rejected as non-scalar."""
+    with pytest.raises(ValueError, match="array"):
+        pes.filter_decode_nested(
+            chunks, USER_SCHEMA, pes.P.gt("accounts.amount", 50)
+        )
+    with pytest.raises(ValueError, match="container"):
+        pes.filter_decode_nested(chunks, USER_SCHEMA, pes.P.not_null("address"))
+    with pytest.raises(ValueError, match="unknown field path"):
+        pes.filter_decode_nested(chunks, USER_SCHEMA, pes.P.eq("address.nope", 1))

@@ -42,6 +42,83 @@ def test_new_column_on_old_data_fails_with_context(spark, v1_v2_chunks):
         pes.decode(mixed, columns=["id", "c"]).collect()
 
 
+def test_new_optional_column_reads_as_null(spark, v1_v2_chunks):
+    """Widened-schema read: a NULLABLE column absent from old chunks
+    materializes as null (ParquetExampleTest.scala:300-318 — the new
+    optional field reads as absent on old files, r6/r7)."""
+    from pyspark.sql import types as T
+
+    c1, c2 = v1_v2_chunks
+    mixed = c1.unionByName(c2)
+    widened = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("c", T.LongType(), True),
+    ])
+    out = pes.decode(mixed, expected_schema=widened).collect()
+    assert len(out) == 200
+    by_id = {r["id"]: r for r in out}
+    assert by_id[5]["c"] is None and by_id[5]["a"] == "a5"
+    assert by_id[150]["c"] == 300
+
+
+def test_new_optional_column_projection_keeps_old_rows(spark, v1_v2_chunks):
+    """Selecting ONLY the new column must still yield one (null) row per
+    old-data row — old chunks contribute via their anchor rows instead of
+    vanishing from the projection."""
+    from pyspark.sql import types as T
+
+    c1, c2 = v1_v2_chunks
+    mixed = c1.unionByName(c2)
+    widened = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("c", T.LongType(), True),
+    ])
+    out = pes.decode(mixed, columns=["id", "c"], expected_schema=widened)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert sum(1 for r in rows if r["c"] is None) == 100
+    only_c = pes.decode(mixed, columns=["c"], expected_schema=widened)
+    assert only_c.count() == 200
+
+
+def test_new_required_column_still_fails(spark, v1_v2_chunks):
+    """A new NON-nullable column demanded of old data keeps failing — the
+    reference's r5 case (required field missing from old files)."""
+    from pyspark.sql import types as T
+
+    c1, c2 = v1_v2_chunks
+    mixed = c1.unionByName(c2)
+    widened = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("c", T.LongType(), False),
+    ])
+    with pytest.raises(Exception, match="missing columns.*'c'"):
+        pes.decode(mixed, expected_schema=widened).collect()
+
+
+def test_expected_column_never_written_and_required_fails_fast(spark, v1_v2_chunks):
+    """A column in NO chunk at all: nullable reads as all-null, required
+    fails at validation (driver-side, before any decode)."""
+    from pyspark.sql import types as T
+
+    c1, _ = v1_v2_chunks
+    nullable = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("brand_new", T.StringType(), True),
+    ])
+    out = pes.decode(c1, expected_schema=nullable, columns=["id", "brand_new"])
+    rows = out.collect()
+    assert len(rows) == 100 and all(r["brand_new"] is None for r in rows)
+    strict = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("brand_new", T.StringType(), False),
+    ])
+    with pytest.raises(pes.ChunkDecodeError, match="not present in chunk table"):
+        pes.decode(c1, expected_schema=strict)
+
+
 def test_unioned_tables_without_namespace_fail_fast(spark):
     """Colliding chunk ids from two independent encode() calls must fail
     loudly at decode, never silently merge chunks."""
