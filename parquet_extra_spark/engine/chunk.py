@@ -40,6 +40,12 @@ CHUNK_SPARK_SCHEMA = T.StructType(
         T.StructField("n_runs", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
         T.StructField("schema_fp", T.StringType(), False),
+        # membership digest: sorted 63-bit hashes of the chunk's distinct
+        # values when the exact dictionary is small (stats._MEMBER_MAX) —
+        # the chunk-table analogue of parquet-mr's dictionary filter that
+        # the reference's eq predicates inherit (Predicate.scala:31-38).
+        # NULL = no digest (high cardinality / sampled stats): never prunes.
+        T.StructField("member_hashes", T.ArrayType(T.LongType(), False), True),
     ]
 )
 
@@ -64,6 +70,7 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("n_runs", pa.int64()),
         ("sha256", pa.string()),
         ("schema_fp", pa.string()),
+        ("member_hashes", pa.list_(pa.int64())),
     ]
 )
 

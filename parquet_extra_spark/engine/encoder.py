@@ -157,6 +157,7 @@ def _chunk_rows_batch(
         rows["n_runs"].append(st.n_runs)
         rows["sha256"].append(stats_mod.canonical_sha256(arr, dtype))
         rows["schema_fp"].append(schema_fp)
+        rows["member_hashes"].append(st.members)
     return pa.RecordBatch.from_pydict(
         {k: pa.array(v, type=CHUNK_ARROW_SCHEMA.field(k).type) for k, v in rows.items()},
         schema=CHUNK_ARROW_SCHEMA,

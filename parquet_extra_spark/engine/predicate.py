@@ -38,6 +38,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..codecs import typemap
+from . import stats as stats_lib
 
 _NUMERIC = typemap.INT_DTYPES | typemap.FLOAT_DTYPES
 
@@ -215,18 +216,19 @@ def _typed_value(v, dtype: str):
     return F.lit(v)
 
 
-def _stat_cols(c: str, dtype: str) -> tuple[Column, Column, Column, Column]:
+def _stat_cols(c: str, dtype: str) -> tuple[Column, Column, Column, Column, Column]:
     mn = _typed(F.col(f"`{c}_mn`"), dtype)
     mx = _typed(F.col(f"`{c}_mx`"), dtype)
     nc = F.col(f"`{c}_nc`")
     nv = F.col(f"`{c}_nv`")
-    return mn, mx, nc, nv
+    mh = F.col(f"`{c}_mh`")  # membership digest; NULL = no digest
+    return mn, mx, nc, nv, mh
 
 
 def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
     """-> (possible, certain) boolean Columns over the wide stats frame."""
     if isinstance(pred, Cmp):
-        mn, mx, nc, nv = _stat_cols(pred.column, dtypes[pred.column])
+        mn, mx, nc, nv, mh = _stat_cols(pred.column, dtypes[pred.column])
         v = _typed_value(pred.value, dtypes[pred.column])
         has_non_null = nc < nv
         no_nulls = nc == F.lit(0)
@@ -248,6 +250,17 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
                 & (mn.isNull() | (mn <= v))
                 & (mx.isNull() | (mx >= v))
             )
+            # membership-digest refinement (parquet-mr dictionary-filter
+            # analogue): a small exact dictionary that provably lacks the
+            # literal skips the chunk even when [min,max] straddles it —
+            # e.g. eq("lang","en") against a chunk spanning [aa..zz].
+            # NULL digest = no information (kept); type-mismatched
+            # literals get h=None and fall back to min/max only.
+            h = stats_lib.member_hash_for(pred.value, dtypes[pred.column])
+            if h is not None:
+                possible = possible & (
+                    mh.isNull() | F.array_contains(mh, F.lit(h))
+                )
             certain = no_nulls & mn.isNotNull() & mx.isNotNull() & (mn == v) & (mx == v)
         elif pred.op == "ne":
             # every non-null row equals v iff mn == mx == v (then no row
@@ -257,6 +270,14 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
             certain = no_nulls & (
                 (mx.isNotNull() & (mx < v)) | (mn.isNotNull() & (mn > v))
             )
+            h = stats_lib.member_hash_for(pred.value, dtypes[pred.column])
+            if h is not None:
+                # digest proves v absent -> every non-null row differs;
+                # with no nulls that's certain (strengthens NOT-pruning:
+                # possible(¬ne) = ¬certain(ne))
+                certain = certain | (
+                    no_nulls & mh.isNotNull() & ~F.array_contains(mh, F.lit(h))
+                )
         else:  # pragma: no cover
             raise ValueError(pred.op)
         return possible, certain
@@ -268,10 +289,10 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
         certain = reduce(lambda a, b: a | b, (c for _, c in parts))
         return possible, certain
     if isinstance(pred, IsNull):
-        _, _, nc, nv = _stat_cols(pred.column, dtypes[pred.column])
+        _, _, nc, nv, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc > F.lit(0), nc == nv
     if isinstance(pred, NotNull):
-        _, _, nc, nv = _stat_cols(pred.column, dtypes[pred.column])
+        _, _, nc, nv, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc < nv, nc == F.lit(0)
     if isinstance(pred, And):
         pl, cl = _eval_stats(pred.left, dtypes)
@@ -288,9 +309,15 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
 
 
 def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
-    """One row per chunk_id with (mn, mx, nc, nv) per referenced column —
-    a groupBy+pivot over metadata columns only (payloads pruned from the
+    """One row per chunk_id with (mn, mx, nc, nv, mh) per referenced column
+    — a groupBy+pivot over metadata columns only (payloads pruned from the
     scan), one small shuffle regardless of table size."""
+    if "member_hashes" not in chunks.columns:
+        # chunk tables persisted before the digest column existed read
+        # back without it — treat as "no digest" (sound, never prunes)
+        chunks = chunks.withColumn(
+            "member_hashes", F.lit(None).cast("array<bigint>")
+        )
     return (
         chunks.filter(F.col("column").isin(columns))
         .groupBy("chunk_id")
@@ -300,6 +327,7 @@ def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
             F.first("max_val").alias("mx"),
             F.first("null_count").alias("nc"),
             F.first("n_values").alias("nv"),
+            F.first("member_hashes").alias("mh"),
         )
     )
 

@@ -113,10 +113,24 @@ def chunk_isin_filter(
     stat_rows = chunks.filter(F.col("column") == column)
     mn = _typed_stat(F.col("min_val"), dtype)
     mx = _typed_stat(F.col("max_val"), dtype)
+    has_digest = "member_hashes" in chunks.columns
     any_in = None
     for v in values:
         vl = _typed_bound(v, dtype)
         hit = (mn.isNull() | (mn <= vl)) & (mx.isNull() | (mx >= vl))
+        if has_digest:
+            # dictionary-membership refinement: a small exact dictionary
+            # that provably lacks v skips the chunk even when [min,max]
+            # straddles it (engine/stats.member_hash_for; NULL digest or
+            # type-mismatched literal = min/max only, sound)
+            from .stats import member_hash_for
+
+            h = member_hash_for(v, dtype)
+            if h is not None:
+                hit = hit & (
+                    F.col("member_hashes").isNull()
+                    | F.array_contains("member_hashes", F.lit(h))
+                )
         any_in = hit if any_in is None else (any_in | hit)
     surviving = stat_rows.filter(any_in).select("chunk_id")
     return semi_join_surviving(chunks, surviving)

@@ -40,6 +40,53 @@ class ColumnStats:
     min_val: str | None
     max_val: str | None
     dict_bytes: int = 0
+    # sorted 63-bit member hashes of the EXACT distinct-value set, or None
+    # when the dictionary was sampled/extrapolated or too large — see
+    # member_hash_for (the plan-side half of the digest contract)
+    members: list[int] | None = None
+
+
+# membership digest: only dtypes whose plan-time literals canonicalize to
+# the same strings the encoder hashes (member_hash_for); cap keeps the
+# per-chunk metadata tiny (64 hashes = 512 bytes)
+_MEMBER_MAX = 64
+
+
+def _member_hash(s: str) -> int:
+    """Canonical-string -> stable 63-bit hash (same function on both the
+    encode side and the plan side; NOT Python's salted hash())."""
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little") >> 1
+
+
+def member_hash_for(value, dtype: str) -> int | None:
+    """Plan-side canonicalization of an eq/isin literal. Returns None when
+    (value, dtype) is outside the digest contract — the caller must then
+    fall back to min/max pruning only (sound). Type checks are strict:
+    e.g. a float literal against an int column never digest-prunes (the
+    row recheck decides 2.0 == 2; the digest must not)."""
+    if dtype == "boolean":
+        return _member_hash(str(int(value))) if isinstance(value, bool) else None
+    if dtype in typemap.INT_DTYPES:
+        if isinstance(value, int) and not isinstance(value, bool):
+            return _member_hash(str(value))
+        return None
+    if dtype == "string":
+        return _member_hash(value) if isinstance(value, str) else None
+    return None
+
+
+def _member_digest(dict_arr: pa.Array, dtype: str) -> list[int] | None:
+    """Encode-side digest from an EXACT dictionary (no sampling)."""
+    if dict_arr is None or not (0 < len(dict_arr) <= _MEMBER_MAX):
+        return None
+    if dtype == "boolean" or dtype in typemap.INT_DTYPES:
+        # dict_encode_codes normalizes boolean dictionaries to int64 0/1
+        vals = [str(v) for v in dict_arr.to_pylist()]
+    elif dtype == "string":
+        vals = dict_arr.to_pylist()
+    else:
+        return None
+    return sorted(_member_hash(v) for v in vals)
 
 
 def _minmax_strings(arr: pa.Array, dtype: str) -> tuple[str | None, str | None]:
@@ -123,13 +170,14 @@ def canonical_sha256(arr: pa.Array, dtype: str) -> str:
     return h.hexdigest()
 
 
-def _dict_facts(arr: pa.Array, dtype: str) -> tuple[int, int, int]:
-    """-> (dict_n, n_runs, dict_bytes) via one dictionary_encode pass."""
+def _dict_facts(arr: pa.Array, dtype: str) -> tuple[int, int, int, pa.Array | None]:
+    """-> (dict_n, n_runs, dict_bytes, dict_arr) via one dictionary_encode
+    pass; dict_arr is the exact distinct-value dictionary (None if empty)."""
     from ..codecs.dictionary import dict_encode_codes
 
     codes, mask, dict_arr = dict_encode_codes(arr, dtype)
     if len(codes) == 0:
-        return 0, 0, 0
+        return 0, 0, 0, None
     work = codes.copy()
     work[mask] = np.uint64(len(dict_arr))
     n_runs = len(packing.run_starts(work))
@@ -138,7 +186,7 @@ def _dict_facts(arr: pa.Array, dtype: str) -> tuple[int, int, int]:
         dict_bytes = len(data) + len(dict_arr) * 2
     else:
         dict_bytes = len(dict_arr) * 8
-    return len(dict_arr), n_runs, dict_bytes
+    return len(dict_arr), n_runs, dict_bytes, dict_arr
 
 
 _DICT_SAMPLE_ROWS = 2048
@@ -148,6 +196,7 @@ _WIDE_STR_BYTES = 128
 def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
     n = len(arr)
     raw = raw_size(arr, dtype)
+    members: list[int] | None = None
     if dtype.startswith("array<"):
         dict_n, n_runs, dict_bytes = 0, n, 0
         mn, mx = None, None
@@ -164,7 +213,7 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
         # bands (engine/stats._candidates), and min/max for pushdown are
         # still computed exactly below.
         sample = arr.slice(0, _DICT_SAMPLE_ROWS)
-        s_dict, s_runs, s_dict_bytes = _dict_facts(sample, dtype)
+        s_dict, s_runs, s_dict_bytes, _ = _dict_facts(sample, dtype)
         scale = n / _DICT_SAMPLE_ROWS
         if s_dict > 0.5 * _DICT_SAMPLE_ROWS:
             dict_n = min(n, int(s_dict * scale))  # high-card: rate extrapolation
@@ -172,9 +221,14 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
             dict_n = s_dict  # low-card: the sample saw (nearly) all values
         n_runs = min(n, max(1, int(s_runs * scale)))
         dict_bytes = int(s_dict_bytes * (dict_n / max(s_dict, 1)))
+        # no digest: the sampled dictionary may miss values — a digest
+        # built from it would unsoundly skip chunks (sampling is gated to
+        # wide content-like strings, never the low-card columns digests
+        # are for)
         mn, mx = _minmax_strings(arr, dtype)
     else:
-        dict_n, n_runs, dict_bytes = _dict_facts(arr, dtype)
+        dict_n, n_runs, dict_bytes, dict_arr = _dict_facts(arr, dtype)
+        members = _member_digest(dict_arr, dtype)
         mn, mx = _minmax_strings(arr, dtype)
     return ColumnStats(
         n=n,
@@ -185,6 +239,7 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
         min_val=mn,
         max_val=mx,
         dict_bytes=dict_bytes,
+        members=members,
     )
 
 

@@ -351,12 +351,29 @@ def ngram_jaccard_exact(
     shingle: int = 5,
     threshold: float = 0.3,
     group_col: str | None = None,
+    allow_quadratic: bool = False,
+    max_rows_unblocked: int = 100_000,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard): EXACT all-pairs n-gram Jaccard, optionally
     blocked on ``group_col`` to bound the quadratic join. The oracle
     baseline for ngram_jaccard_pairs: at corpus scale you block (group) or
     LSH; this exact variant is what those approximations are judged
-    against. Shuffle = one self-join on the blocking key."""
+    against. Shuffle = one self-join on the blocking key.
+
+    Without ``group_col`` the join is a CROSS JOIN — quadratic in the row
+    count. To keep a corpus-sized call from silently launching an n^2 job,
+    the unblocked form requires ``allow_quadratic=True`` once the input
+    exceeds ``max_rows_unblocked`` rows (the count is one cheap action);
+    use ngram_jaccard_pairs (LSH) or a blocking column instead."""
+    if group_col is None and not allow_quadratic:
+        n = df.count()
+        if n > max_rows_unblocked:
+            raise ValueError(
+                f"ngram_jaccard_exact without group_col is a cross join —"
+                f" quadratic in rows ({n} rows -> ~{n * (n - 1) // 2:,}"
+                " pairs). Pass group_col to block, use ngram_jaccard_pairs"
+                " (LSH) at scale, or set allow_quadratic=True explicitly."
+            )
     sh = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),

@@ -227,6 +227,78 @@ def ivf_topk(
     )
 
 
+def ivf_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    chunk_rows: int = 4096,
+    n_buckets: int | None = None,
+    n_salts: int = 1,
+    uid_namespace: str = "ivf",
+    **encode_kwargs,
+) -> DataFrame:
+    """Persist the IVF index INTO the chunk table: cells assigned once at
+    ingest, rows clustered by cell (partition_cols=["cell"]), so queries
+    prune whole chunks on the ``cell`` stats instead of recomputing the
+    assignment per query. Chunk rows carry (id, cell, v) where v is the
+    vector as array<double>.
+
+    Clustering on cell means each chunk covers 1-2 cells ([min,max] on a
+    sorted int column), and the membership digest (cell has <= n_centroids
+    distinct values per chunk) makes isin pruning *exact* even when a
+    chunk straddles a cell boundary. At 100 TB a query decodes
+    ~nprobe/n_centroids of the chunks — partition pruning for vectors,
+    computed from chunk metadata only."""
+    from ..engine.encoder import encode
+
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed)
+    return encode(
+        assigned,
+        partition_cols=["cell"],
+        sort_cols=["cell", "id"],
+        chunk_rows=chunk_rows,
+        n_buckets=n_buckets or n_centroids,
+        n_salts=n_salts,
+        uid_namespace=uid_namespace,
+        **encode_kwargs,
+    )
+
+
+def ivf_topk_chunks(
+    chunks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    seed: int = 7,
+    colocated: bool = False,
+) -> DataFrame:
+    """IVF top-k over an ivf_encode chunk table: probe cells are computed
+    driver-side from the (deterministic) centroids, non-probed chunks are
+    PRUNED ON STATS (chunk_isin_filter consults min/max + the membership
+    digest — zero payload decode for skipped chunks), and exact cosine
+    runs only inside the decoded probe cells. Matches ivf_topk(df, ...)
+    on the same source exactly (same centroids, probes, tie-break)."""
+    from ..engine.pushdown import filter_decode_isin
+
+    dim = len(query)
+    cents = _ivf_centroids(dim, n_centroids, seed)
+    q = np.asarray(query, dtype=np.float64)
+    probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
+    rows = filter_decode_isin(
+        chunks, "cell", probes, columns=["id", "v"], colocated=colocated
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        rows.select("id", F.round(cosine(F.col("v"), qcol), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -239,3 +239,19 @@ def test_ivf_assign_covers_all_cells_deterministically(spark, sf_dir):
     cb = {r["id"]: r["cell"] for r in b.collect()}
     assert ca == cb
     assert set(ca.values()) <= set(range(1, 17))
+
+
+def test_ngram_jaccard_exact_quadratic_guard(dup_docs):
+    # unblocked exact Jaccard is a cross join: above the row cap it must
+    # refuse unless the caller opts in explicitly
+    with pytest.raises(ValueError, match="cross join"):
+        ops.ngram_jaccard_exact(dup_docs, max_rows_unblocked=3)
+    out = ops.ngram_jaccard_exact(
+        dup_docs, max_rows_unblocked=3, allow_quadratic=True, threshold=0.0
+    )
+    assert out.count() > 0
+    # a blocking column bypasses the guard (the join is bounded per group)
+    blocked = dup_docs.withColumn("blk", F.lit("one"))
+    assert ops.ngram_jaccard_exact(
+        blocked, group_col="blk", max_rows_unblocked=3, threshold=0.0
+    ).count() == out.count()
