@@ -371,6 +371,67 @@ def q_nested_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nested_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown THROUGH nesting (Projection.scala:53-107 composed
+    with Predicate.scala:47-183): a dotted-path predicate tree is rewritten
+    to shredded leaf names, pruned on chunk stats, decoded with leaf
+    projection, and exactly re-checked."""
+    nested = _nested_orders(spark, sf_dir)
+    chunks = pes.encode_nested(nested, **_NESTED_ENCODE)
+    pred = pes.P.gt("stats.n_orders", 3) & pes.P.lt("stats.min_key", 40000)
+    return pes.filter_decode_nested(
+        chunks, nested.schema, pred,
+        paths=["o_custkey", "stats.n_orders", "stats.min_key"],
+        colocated=True,
+    )
+
+
+def q_evolution_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 widened-schema read (ParquetExampleTest.scala:300-318, r6/r7):
+    v1 chunks written WITHOUT n_chars union v2 chunks written with it;
+    decoding under the widened schema materializes the new optional
+    column as null on old data instead of erroring."""
+    from pyspark.sql import types as T
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    kw = dict(sort_cols=["doc_id"], chunk_rows=4096, n_buckets=4, n_salts=1,
+              num_partitions=4)
+    mixed = pes.encode(v1, uid_namespace="v1", **kw).unionByName(
+        pes.encode(v2, uid_namespace="v2", **kw)
+    )
+    widened = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    return pes.decode(mixed, expected_schema=widened)
+
+
+def q_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SCALE path: cells persisted into the chunk table at ingest
+    (ivf_encode, partition_cols=[cell]); the query prunes non-probed
+    cells on chunk stats + membership digest BEFORE any payload decode —
+    no per-query assignment scan. Must equal ivf_topk exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = ops.ivf_encode(emb, chunk_rows=1024, num_partitions=8)
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]  # same as ann_topk
+    return ops.ivf_topk_chunks(chunks, q, k=20, nprobe=4, colocated=True)
+
+
+def q_chunk_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-able half of the codec metrics (O27 lineage/metrics):
+    per-column value counts and logical raw bytes, checkable against
+    plain SQL length sums — codec choice itself stays rows-only in
+    codec_metrics (engine-internal)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return chunks.groupBy("column").agg(
+        F.sum("n_values").alias("n_values"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+    )
+
+
 def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine round trip over exact decimals: decimal(p,s) rides the
     unscaled-int64 codec lane (FOR/delta/dict/RLE) and decodes
@@ -446,6 +507,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimal": q_roundtrip_decimal,
         "roundtrip_nested": q_roundtrip_nested,
         "nested_projection": q_nested_projection,
+        "nested_filter": q_nested_filter,
+        "evolution_projection": q_evolution_projection,
+        "ivf_topk_persisted": q_ivf_topk_persisted,
+        "chunk_accounting": q_chunk_accounting,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -820,6 +885,29 @@ def oracle_sql() -> dict[str, str]:
         "nested_projection": (
             'SELECT o_custkey, count(*) AS "stats.n_orders"'
             " FROM orders GROUP BY o_custkey"
+        ),
+        "nested_filter": (
+            'SELECT o_custkey, count(*) AS "stats.n_orders",'
+            ' min(o_orderkey) AS "stats.min_key"'
+            " FROM orders GROUP BY o_custkey"
+            " HAVING count(*) > 3 AND min(o_orderkey) < 40000"
+        ),
+        "evolution_projection": (
+            "SELECT doc_id, lang,"
+            " CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS n_chars"
+            " FROM documents"
+        ),
+        "ivf_topk_persisted": _ivf_oracle(),
+        "chunk_accounting": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n_values,"
+            f" {expr}::BIGINT AS raw_bytes FROM documents"
+            for c, expr in [
+                ("doc_id", "count(*) * 8"),
+                ("text", "sum(coalesce(strlen(text), 0))"),
+                ("lang", "sum(coalesce(strlen(lang), 0))"),
+                ("source", "sum(coalesce(strlen(source), 0))"),
+                ("n_chars", "count(*) * 8"),
+            ]
         ),
         "roundtrip_decimal": (
             "SELECT l_orderkey, l_linenumber,"
