@@ -87,8 +87,11 @@ def main() -> None:
         "compound predicate pruning (chunk-stats skip)",
         "Cross-column AND/OR/NOT tree compiled to a per-chunk "
         "possible-verdict over pivoted stats; surviving chunk ids come "
-        "back as a BROADCAST semi-join — the chunk table itself is never "
-        "shuffled for pruning.",
+        "back via a semi-join with NO forced broadcast hint — AQE "
+        "broadcasts when the survivor set is actually small and falls "
+        "back to a shuffled semi-join for unselective predicates (a "
+        "forced F.broadcast of billions of surviving ids at 100 TB "
+        "would OOM the driver).",
         formatted(pruned_chunks),
     ))
     cached.unpersist()
@@ -116,6 +119,93 @@ def main() -> None:
         "pruning over vectors.",
         formatted(ivf),
     ))
+
+    # --- round-3 paths ---
+
+    # nested predicate pushdown: dotted-path predicate -> leaf chunk stats
+    nested = docs.select(
+        "doc_id", F.struct(F.col("lang"), F.col("n_chars")).alias("meta")
+    )
+    nchunks = pes.encode_nested(
+        nested, sort_cols=["meta.n_chars"], chunk_rows=64,
+        n_buckets=4, n_salts=1, num_partitions=4, unit_sort=True,
+    ).cache()
+    n_total = nchunks.select("chunk_id").distinct().count()
+    npred = pes.P.gt("meta.n_chars", 450)
+    from parquet_extra_spark.engine.nested import _rewrite_pred_paths
+    nshred = pes.shred_schema(nested.schema)
+    n_kept = (
+        pes.prune_chunks(nchunks, _rewrite_pred_paths(npred, nested.schema), nshred)
+        .select("chunk_id").distinct().count()
+    )
+    nf = pes.filter_decode_nested(
+        nchunks, nested.schema, npred, paths=["doc_id", "meta.lang"]
+    )
+    eff = f"chunks kept by stats pruning: {n_kept}/{n_total}."
+    sections.append((
+        "nested predicate pushdown (filter_decode_nested)",
+        "A dotted-path predicate (meta.n_chars > 450) is rewritten to "
+        "shredded leaf names, pruned on chunk stats BEFORE any payload "
+        "decode, exactly re-checked row-wise, and reassembled to the "
+        "requested nested projection. " + eff,
+        formatted(nf),
+    ))
+    nchunks.unpersist()
+
+    # persisted IVF: cells assigned at ingest, queries prune chunks on stats
+    from parquet_extra_spark.engine.pushdown import chunk_isin_filter
+
+    ivfc = ops.ivf_encode(
+        emb, chunk_rows=64, n_salts=1, num_partitions=8
+    ).cache()
+    ivf_total = ivfc.select("chunk_id").distinct().count()
+    import numpy as _np
+    from parquet_extra_spark.operators.similarity import _ivf_centroids
+    cents = _ivf_centroids(64, 16, 7)
+    probes = (_np.argsort(-(cents @ _np.asarray(q)))[:4] + 1).tolist()
+    ivf_kept = (
+        chunk_isin_filter(ivfc, "cell", probes)
+        .select("chunk_id").distinct().count()
+    )
+    ivf_q = ops.ivf_topk_chunks(ivfc, q, k=20, nprobe=4)
+    sections.append((
+        "persisted IVF top-k (ivf_encode + ivf_topk_chunks)",
+        "Cells are assigned once at ingest and the table is clustered on "
+        "cell, so a query prunes non-probed chunks from METADATA only "
+        "(min/max + membership digest on the cell column) and decodes "
+        "just the probed cells — partition pruning for vectors. "
+        f"chunks decoded: {ivf_kept}/{ivf_total} "
+        f"(nprobe=4 of 16 centroids).",
+        formatted(ivf_q),
+    ))
+    ivfc.unpersist()
+
+    # membership-digest pruning: eq/isin beyond min-max ranges
+    wide = pes.encode(
+        docs, sort_cols=["doc_id"], chunk_rows=64,
+        n_buckets=4, n_salts=1, num_partitions=4,
+    ).cache()
+    w_total = wide.select("chunk_id").distinct().count()
+    w_kept = (
+        chunk_isin_filter(wide, "lang", ["xx"])
+        .select("chunk_id").distinct().count()
+    )
+    lang_rows = wide.filter(F.col("column") == "lang")
+    range_kept = lang_rows.filter(
+        (F.col("min_val") <= "xx") & (F.col("max_val") >= "xx")
+    ).count()
+    sections.append((
+        "dictionary-membership digest pruning (eq/isin)",
+        "Chunks sorted on doc_id have wide [min,max] lang ranges, so "
+        "range stats alone cannot skip eq(lang,'xx') — the per-chunk "
+        "membership digest (hashes of dictionary entries when "
+        "distinct_est is small) proves 'xx' absent and skips the chunk "
+        "without decoding. "
+        f"range-only would keep {range_kept} chunks; digest keeps "
+        f"{w_kept}/{w_total}.",
+        "(metadata-only decision; no payload plan)",
+    ))
+    wide.unpersist()
 
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     c = spark.read.parquet(f"{SF_DIR}/customer.parquet")

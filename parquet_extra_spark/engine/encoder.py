@@ -374,14 +374,30 @@ def encode(
     num_partitions: int | None = None,
     uid_namespace: str = "",
     expected_schema=None,
+    unit_sort: bool = False,
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
     partition_cols: clustering keys (e.g. ["repo","lang"]). Rows are
-        hash-partitioned on them (bucketed to n_buckets) and sorted by them
-        within partitions, so chunk stats stay selective per key without
-        fragmenting small groups into degenerate chunks.
-    sort_cols: additional within-partition sort to expose runs to RLE.
+        hash-partitioned on them (bucketed to n_buckets), so each
+        (bucket, salt) unit holds whole key groups — group locality for
+        chunk stats without fragmenting small groups into degenerate
+        chunks.
+    sort_cols: value order inside each chunk (columnar, Python-side) to
+        expose runs to RLE. NOTE: by default this does NOT order rows
+        ACROSS the chunks of a unit — on input that is not already
+        clustered, every chunk's [min,max] can span the unit's full value
+        range, and range pushdown on these columns degrades to a full
+        decode (equality/isin pushdown keeps working via the membership
+        digest). Pass ``unit_sort=True`` when selective RANGE pruning on
+        sort_cols matters.
+    unit_sort: opt-in JVM ``sortWithinPartitions`` on (bucket, salt,
+        *partition_cols, *sort_cols) before chunking. Costs one extra
+        buffered sort pass over the task's rows (UnsafeExternalSorter —
+        measurably slower on wide content), and buys chunk ranges that
+        tile the key space disjointly: the one-time ingest sort that makes
+        range pushdown prune ~uniformly at 100 TB. Use for pushdown-heavy
+        tables; leave off for throughput-bound re-encodes.
     codec: force one codec (tests); default statistics-driven per
         chunk-column (engine/stats.py).
     uid_namespace: isolates chunk ids of independent encode() calls whose
@@ -456,6 +472,11 @@ def encode(
     work = work.repartition(n_part, _BUCKET, _SALT)
 
     chunk_sort = [s_of[c] for c in list(partition_cols) + list(sort_cols or [])]
+    if unit_sort and chunk_sort:
+        # one deliberate extra pass: rows arrive at encode_fn already
+        # unit-contiguous AND value-ordered, so consecutive chunks of a
+        # unit carry disjoint [min,max] ranges (selective range pushdown)
+        work = work.sortWithinPartitions(_BUCKET, _SALT, *chunk_sort)
     fn = _make_encode_fn(safe, dtypes, chunk_rows, codec,
                          sort_cols=chunk_sort or None, uid_namespace=uid_namespace,
                          display=columns,

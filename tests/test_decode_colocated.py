@@ -141,9 +141,18 @@ def test_expected_schema_validation(docs, chunks):
     with pytest.raises(ChunkDecodeError, match="type mismatch"):
         pes.decode(chunks, expected_schema=bad_type,
                    schema_cols=pes.schema_from_struct(docs.schema))
+    # Nullable absent column = schema evolution: reads as all-null
+    # (ParquetExampleTest.scala:300-318 r6/r7 succeed) ...
     missing = T.StructType([T.StructField("nope", T.StringType())])
+    out = pes.decode(chunks, columns=["doc_id", "nope"],
+                     expected_schema=missing,
+                     schema_cols=pes.schema_from_struct(docs.schema))
+    assert out.where(F.col("nope").isNotNull()).count() == 0
+    assert out.count() == docs.count()
+    # ... but a REQUIRED (non-nullable) absent column still fails (r5).
+    required = T.StructType([T.StructField("nope", T.StringType(), False)])
     with pytest.raises(ChunkDecodeError, match="not present"):
-        pes.decode(chunks, expected_schema=missing,
+        pes.decode(chunks, expected_schema=required,
                    schema_cols=pes.schema_from_struct(docs.schema))
 
 
