@@ -432,6 +432,20 @@ def q_chunk_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (engine/aggregates.py): count / nulls /
+    min / max per column answered purely from chunk statistics — zero
+    payload decode, the chunk-table form of parquet footer-statistics
+    aggregate pushdown. Restricted to columns whose bounds are exact by
+    the storage contract (numerics + short strings; `text` minima are
+    stored truncated and excluded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    prof = pes.metadata_profile(
+        chunks, columns=["doc_id", "lang", "n_chars", "source"]
+    )
+    return prof.select("column", "n_values", "null_count", "min_val", "max_val")
+
+
 def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine round trip over exact decimals: decimal(p,s) rides the
     unscaled-int64 codec lane (FOR/delta/dict/RLE) and decodes
@@ -511,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evolution_projection": q_evolution_projection,
         "ivf_topk_persisted": q_ivf_topk_persisted,
         "chunk_accounting": q_chunk_accounting,
+        "metadata_agg": q_metadata_agg,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -908,6 +923,13 @@ def oracle_sql() -> dict[str, str]:
                 ("source", "sum(coalesce(strlen(source), 0))"),
                 ("n_chars", "count(*) * 8"),
             ]
+        ),
+        "metadata_agg": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n_values,"
+            f" (count(*) - count({c}))::BIGINT AS null_count,"
+            f" CAST(min({c}) AS VARCHAR) AS min_val,"
+            f" CAST(max({c}) AS VARCHAR) AS max_val FROM documents"
+            for c in ["doc_id", "lang", "n_chars", "source"]
         ),
         "roundtrip_decimal": (
             "SELECT l_orderkey, l_linenumber,"

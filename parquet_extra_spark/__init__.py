@@ -22,6 +22,7 @@ from .engine.pushdown import (
     filter_decode_null,
     pushdown_stats,
 )
+from .engine.aggregates import metadata_profile
 from .engine.predicate import (
     P,
     Pred,

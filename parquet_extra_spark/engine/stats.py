@@ -110,13 +110,19 @@ def _minmax_strings(arr: pa.Array, dtype: str) -> tuple[str | None, str | None]:
     if isinstance(mn, float):
         import math
 
-        # NaN poisons Arrow's min_max (any NaN -> mn = mx = NaN) and a
-        # NaN stat compares false against every bound, which would prune
-        # chunks that contain real matching values. NaN/inf bounds are
-        # stored as NULL = unbounded (sound, never skips).
+        # NaN handling differs by pyarrow version: some poison min_max
+        # (any NaN -> mn = mx = NaN), current ones SKIP NaN and return
+        # the finite bounds. Both are unsound as stored stats, because
+        # Spark's total order places NaN ABOVE every double — a chunk
+        # containing NaN matches x > B for ANY bound B, so its true max
+        # is NaN and must be stored as NULL = unbounded (never skips).
+        # The finite min stays sound: NaN never extends the lower bound
+        # (NaN < B is false for every B in Spark).
         if math.isnan(mn) or math.isinf(mn):
             return (None, str(mx) if math.isfinite(mx) else None)
         if math.isnan(mx) or math.isinf(mx):
+            return (str(mn), None)
+        if pc.any(pc.is_nan(arr)).as_py():
             return (str(mn), None)
     mn_s, mx_s = str(mn), str(mx)
     if dtype in typemap.STRLIKE_DTYPES:

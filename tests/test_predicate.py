@@ -220,6 +220,29 @@ def test_nan_float_chunks_not_mispruned(spark):
     chunks.unpersist()
 
 
+def test_nan_chunk_with_small_finite_values_not_mispruned(spark):
+    """Regression: pyarrow versions that SKIP NaN in min_max (instead of
+    poisoning it) stored the finite max, so a chunk whose finite values
+    all sit BELOW the bound was pruned even though its NaN rows match
+    x > bound under Spark's total order. The stats writer now detects
+    NaN presence explicitly and stores the max unbounded."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(x=1.5), Row(x=float("nan")), Row(x=9.25)]
+    )
+    chunks = pes.encode(df, chunk_rows=16, n_buckets=1, n_salts=1,
+                        num_partitions=1)
+    want = df.filter(F.col("x") > 100.0).count()
+    assert want == 1  # the NaN row — Spark orders NaN above every double
+    got = pes.filter_decode_pred(chunks, P.gt("x", 100.0))
+    assert got.count() == want
+    assert pes.filter_decode(chunks, "x", lower=100.0).count() == want
+    # lower bound stays selective: the finite min is sound under NaN
+    st = chunks.filter(F.col("column") == "x").select("min_val", "max_val").collect()[0]
+    assert st["min_val"] == "1.5" and st["max_val"] is None
+
+
 def test_null_literal_eq_means_is_null(table, chunks):
     """P.eq(col, None)/P.ne(col, None) compile to is-null/not-null —
     the reference's null-literal predicate semantics (Predicate.scala
