@@ -23,6 +23,7 @@ from .engine.pushdown import (
     pushdown_stats,
 )
 from .engine.aggregates import metadata_profile
+from .engine.compact import compact_chunks, compaction_stats
 from .engine.predicate import (
     P,
     Pred,
