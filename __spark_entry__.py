@@ -446,6 +446,24 @@ def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("column", "n_values", "null_count", "min_val", "max_val")
 
 
+def q_roundtrip_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance path (engine/compact.py): fragment-encode the table
+    into tiny chunks (the shape streaming micro-batch ingest leaves
+    behind), compact_chunks merges every undersized chunk into
+    ~target_rows-sized ones via a METADATA-only small/big split (only
+    undersized payloads decode+re-encode; at 100 TB a 1%-fragmented
+    tail costs ~1 TB of work, not a rewrite), and decoding the
+    compacted table returns the exact source rows."""
+    docs = _docs(spark, sf_dir)
+    frag = pes.encode(
+        docs, chunk_rows=128, n_buckets=4, n_salts=2, num_partitions=8
+    )
+    compacted = pes.compact_chunks(
+        frag, target_rows=4096, n_buckets=2, n_salts=1, num_partitions=2
+    )
+    return pes.decode(compacted, schema_cols=pes.schema_from_struct(docs.schema))
+
+
 def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine round trip over exact decimals: decimal(p,s) rides the
     unscaled-int64 codec lane (FOR/delta/dict/RLE) and decodes
@@ -526,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_persisted": q_ivf_topk_persisted,
         "chunk_accounting": q_chunk_accounting,
         "metadata_agg": q_metadata_agg,
+        "roundtrip_compacted": q_roundtrip_compacted,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -812,6 +831,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "projection": "SELECT doc_id, lang FROM documents",
         "roundtrip_full": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_compacted": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "roundtrip_sha": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
         "filter_pushdown": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

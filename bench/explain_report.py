@@ -207,6 +207,29 @@ def main() -> None:
     ))
     wide.unpersist()
 
+    # compaction: metadata-decided partial rewrite of undersized chunks
+    frag = pes.encode(
+        docs, chunk_rows=64, n_buckets=4, n_salts=2, num_partitions=8
+    ).unionByName(
+        pes.encode(docs.limit(400), chunk_rows=4096, n_buckets=1, n_salts=1,
+                   num_partitions=1, uid_namespace="full")
+    ).cache()
+    cstats = pes.compaction_stats(frag, target_rows=512)
+    compacted = pes.compact_chunks(frag, target_rows=512, n_buckets=2,
+                                   n_salts=1, num_partitions=2)
+    sections.append((
+        "chunk compaction (compact_chunks)",
+        "The small/big split is decided on chunk METADATA only (n_values "
+        "per chunk_id, AQE-decided semi/anti joins); ONLY undersized "
+        "chunks' payloads decode and re-encode, full-size chunks pass "
+        "through byte-identical — compacting a 100 TB table with a 1% "
+        "fragmented tail costs ~1 TB of work, not a rewrite. "
+        f"would rewrite {cstats['chunks_small']}/{cstats['chunks_total']} "
+        f"chunks = {cstats['rows_to_rewrite']}/{cstats['rows_total']} rows.",
+        formatted(compacted),
+    ))
+    frag.unpersist()
+
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     seg = (
