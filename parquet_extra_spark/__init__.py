@@ -37,6 +37,7 @@ from .engine.checkpoint import (
     decode_checkpoint,
     load_manifest,
     metrics,
+    vacuum_checkpoint,
 )
 from .engine.nested import (
     shred,
@@ -87,6 +88,7 @@ __all__ = [
     "decode_checkpoint",
     "load_manifest",
     "metrics",
+    "vacuum_checkpoint",
     "shred",
     "unshred",
     "shred_schema",

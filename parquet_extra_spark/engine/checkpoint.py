@@ -167,6 +167,67 @@ def decode_checkpoint(
     return decode(chunks, columns=columns, colocated=colocated, **decode_kwargs)
 
 
+def vacuum_checkpoint(
+    spark: SparkSession,
+    out_dir: str,
+    retain_seconds: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete orphan chunk data left by crashed runs.
+
+    A crash between the chunk write and the manifest append (step 1 vs
+    step 2 of the commit protocol above) leaves a ``chunks/run_id=<id>``
+    partition with no manifest row. ``read_chunks`` already makes those
+    invisible, so correctness never needs this — but at 10^12-file scale
+    the dead bytes are real money, and re-encoded units double-store
+    until cleaned. Orphan detection is run-level because commit is
+    run-level: a run_id either reached the manifest (all its unit rows
+    append in one write) or it did not.
+
+    Runs younger than ``retain_seconds`` are kept even when absent from
+    the manifest: an in-flight ``encode_to`` has written its chunks but
+    not yet its manifest rows and would otherwise be vacuumed mid-commit
+    — the same retention guard as Delta VACUUM / Iceberg
+    remove_orphan_files. Uses the Hadoop FileSystem API via the JVM
+    gateway, so it works on HDFS / S3A / anything Spark can read, not
+    just local paths; the listing is one directory status call (one
+    entry per encode_to invocation, not per file).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(_chunks_path(out_dir))
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {"orphan_runs": [], "deleted_runs": 0, "bytes_reclaimed": 0}
+
+    committed = {
+        r["run_id"]
+        for r in load_manifest(spark, out_dir).select("run_id").distinct().collect()
+    }
+    now_ms = time.time() * 1000.0
+    orphans: list[str] = []
+    reclaimed = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("run_id="):
+            continue
+        rid = name.split("=", 1)[1]
+        if rid in committed:
+            continue
+        if now_ms - status.getModificationTime() < retain_seconds * 1000.0:
+            continue
+        orphans.append(rid)
+        reclaimed += fs.getContentSummary(status.getPath()).getLength()
+        if not dry_run:
+            fs.delete(status.getPath(), True)
+    return {
+        "orphan_runs": sorted(orphans),
+        "deleted_runs": 0 if dry_run else len(orphans),
+        "bytes_reclaimed": reclaimed,
+    }
+
+
 def metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-partition codec/size metrics table (north_rule lineage+metrics)."""
     return (

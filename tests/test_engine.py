@@ -243,6 +243,37 @@ def test_checkpoint_orphans_invisible_after_crash(spark, corpus, tmp_path):
     assert pes.roundtrip_ok(corpus, pes.decode(committed))
 
 
+def test_vacuum_deletes_orphans_only(spark, corpus, tmp_path):
+    """vacuum_checkpoint: orphan run partitions (crashed before the
+    manifest commit) are deleted, committed runs and fresh in-flight
+    runs are untouched (retention guard), dry_run only reports."""
+    import os
+
+    out = str(tmp_path / "vac")
+    kw = dict(partition_cols=["repo", "lang"], chunk_rows=2048, n_buckets=4, n_salts=2)
+    pes.encode_to(corpus, out_dir=out, run_id="goodrun", **kw)
+    orphan = pes.encode(corpus.limit(100), **kw).withColumn("run_id", F.lit("deadrun"))
+    orphan.write.mode("append").partitionBy("run_id").parquet(f"{out}/chunks")
+    assert os.path.isdir(f"{out}/chunks/run_id=deadrun")
+    # retention guard: a fresh uncommitted run looks in-flight — kept
+    rep = pes.vacuum_checkpoint(spark, out, retain_seconds=3600)
+    assert rep["deleted_runs"] == 0
+    assert os.path.isdir(f"{out}/chunks/run_id=deadrun")
+    # dry_run: reports the orphan, deletes nothing
+    rep = pes.vacuum_checkpoint(spark, out, retain_seconds=0, dry_run=True)
+    assert rep["orphan_runs"] == ["deadrun"]
+    assert rep["bytes_reclaimed"] > 0
+    assert os.path.isdir(f"{out}/chunks/run_id=deadrun")
+    # vacuum: the orphan goes, committed data and its readability stay
+    rep = pes.vacuum_checkpoint(spark, out, retain_seconds=0)
+    assert rep["deleted_runs"] == 1 and rep["orphan_runs"] == ["deadrun"]
+    assert not os.path.exists(f"{out}/chunks/run_id=deadrun")
+    assert os.path.isdir(f"{out}/chunks/run_id=goodrun")
+    assert pes.roundtrip_ok(corpus, pes.decode(pes.read_chunks(spark, out)))
+    # idempotent
+    assert pes.vacuum_checkpoint(spark, out, retain_seconds=0)["deleted_runs"] == 0
+
+
 def test_decode_error_context(spark, corpus_chunks):
     bad = corpus_chunks.withColumn(
         "payload",
