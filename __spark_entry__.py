@@ -446,6 +446,24 @@ def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.select("column", "n_values", "null_count", "min_val", "max_val")
 
 
+def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a high-cardinality key via the opt-in per-chunk
+    Bloom digest (encode(bloom_cols=["doc_id"])): the chunk table is
+    sorted on n_chars so doc_id [min,max] ranges straddle the probed
+    keys and range stats cannot skip — only the bloom prunes. The
+    parquet-mr optional-column-bloom analogue; at 100 TB this is "fetch
+    three documents by id" decoding only the chunks whose bloom admits
+    a key."""
+    docs = _docs(spark, sf_dir)
+    chunks = pes.encode(
+        docs, sort_cols=["n_chars"], chunk_rows=128, n_buckets=2,
+        n_salts=1, num_partitions=2, bloom_cols=["doc_id"],
+    )
+    return pes.filter_decode_pred(
+        chunks, pes.P.isin("doc_id", [7, 123, 311])
+    )
+
+
 def q_roundtrip_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance path (engine/compact.py): fragment-encode the table
     into tiny chunks (the shape streaming micro-batch ingest leaves
@@ -545,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_accounting": q_chunk_accounting,
         "metadata_agg": q_metadata_agg,
         "roundtrip_compacted": q_roundtrip_compacted,
+        "point_lookup_bloom": q_point_lookup_bloom,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
     }
@@ -833,6 +852,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_full": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_compacted": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "point_lookup_bloom": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE doc_id IN (7, 123, 311)"
         ),
         "roundtrip_sha": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents",
         "filter_pushdown": (

@@ -207,6 +207,27 @@ def main() -> None:
     ))
     wide.unpersist()
 
+    # bloom pruning: point lookup on a high-cardinality key
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    blc = pes.encode(even, sort_cols=["n_chars"], chunk_rows=128,
+                     n_buckets=1, n_salts=1, num_partitions=1,
+                     bloom_cols=["doc_id"]).cache()
+    bl_total = blc.select("chunk_id").distinct().count()
+    bl_stats = pes.pushdown_stats_pred(blc, pes.P.eq("doc_id", 3))
+    sections.append((
+        "bloom point-lookup pruning (bloom_cols)",
+        "Chunks sorted on n_chars have doc_id [min,max] ranges that "
+        "straddle any probed key, so range stats cannot skip a point "
+        "lookup; the opt-in per-chunk Bloom digest (63-bit-word array, "
+        "k=6 Catalyst bitwiseAND probes) proves an absent key absent "
+        "and skips the chunk without decoding — no false negatives by "
+        "construction, false positives only widen `possible`. "
+        f"eq(doc_id, 3) (absent): range-only keeps straddling chunks; "
+        f"bloom keeps {bl_stats['chunks_kept']}/{bl_total}.",
+        "(metadata-only decision; no payload plan)",
+    ))
+    blc.unpersist()
+
     # compaction: metadata-decided partial rewrite of undersized chunks
     frag = pes.encode(
         docs, chunk_rows=64, n_buckets=4, n_salts=2, num_partitions=8

@@ -46,6 +46,11 @@ CHUNK_SPARK_SCHEMA = T.StructType(
         # the reference's eq predicates inherit (Predicate.scala:31-38).
         # NULL = no digest (high cardinality / sampled stats): never prunes.
         T.StructField("member_hashes", T.ArrayType(T.LongType(), False), True),
+        # Bloom digest (opt-in, encode(bloom_cols=...)): point-lookup
+        # pruning for HIGH-cardinality columns where the exact member
+        # list is too big — 63-bit words, stats.bloom_positions is the
+        # plan-side contract. NULL = no bloom: never prunes.
+        T.StructField("member_bloom", T.ArrayType(T.LongType(), False), True),
     ]
 )
 
@@ -71,6 +76,7 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("sha256", pa.string()),
         ("schema_fp", pa.string()),
         ("member_hashes", pa.list_(pa.int64())),
+        ("member_bloom", pa.list_(pa.int64())),
     ]
 )
 

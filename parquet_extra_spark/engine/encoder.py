@@ -101,6 +101,7 @@ def _chunk_rows_batch(
     schema_fp: str = "",
     display: list[str] | None = None,
     required: set[str] | None = None,
+    bloom_cols: set[str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
 
@@ -120,7 +121,9 @@ def _chunk_rows_batch(
     for idx, col in enumerate(columns):
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
-        st = stats_mod.compute_stats(arr, dtype)
+        st = stats_mod.compute_stats(
+            arr, dtype, bloom=bool(bloom_cols) and col in bloom_cols
+        )
         if required and col in required and st.null_count:
             # write-time repetition enforcement — the reference rejects a
             # null in a required field at write (Schema.java:95-128
@@ -158,6 +161,7 @@ def _chunk_rows_batch(
         rows["sha256"].append(stats_mod.canonical_sha256(arr, dtype))
         rows["schema_fp"].append(schema_fp)
         rows["member_hashes"].append(st.members)
+        rows["member_bloom"].append(st.bloom)
     return pa.RecordBatch.from_pydict(
         {k: pa.array(v, type=CHUNK_ARROW_SCHEMA.field(k).type) for k, v in rows.items()},
         schema=CHUNK_ARROW_SCHEMA,
@@ -173,6 +177,7 @@ def _make_encode_fn(
     uid_namespace: str = "",
     display: list[str] | None = None,
     required: set[str] | None = None,
+    bloom_cols: set[str] | None = None,
 ):
     schema_fp = schema_fingerprint(display or columns, uid_namespace)
 
@@ -210,6 +215,7 @@ def _make_encode_fn(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
                 sort_cols=sort_cols, uid_namespace=uid_namespace,
                 schema_fp=schema_fp, display=display, required=required,
+                bloom_cols=bloom_cols,
             )
 
         for batch in batches:
@@ -375,6 +381,7 @@ def encode(
     uid_namespace: str = "",
     expected_schema=None,
     unit_sort: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
@@ -403,6 +410,13 @@ def encode(
     uid_namespace: isolates chunk ids of independent encode() calls whose
         chunk tables will be unioned (schema versions, multi-source
         merges); the decoder fails fast on colliding ids.
+    bloom_cols: opt-in per-chunk Bloom digests (~1 KB/chunk) on the named
+        int/string columns — point-lookup (eq/isin) pruning at HIGH
+        cardinality, where the automatic exact membership digest is
+        capped out. The parquet-mr optional per-column bloom analogue:
+        "find one doc_id in 100 TB" decodes only the chunks whose bloom
+        admits the key. Costs one canonical hash per distinct value at
+        encode; leave unset (default) on throughput-critical paths.
     expected_schema: optional declared StructType. Column names/types are
         validated against ``df`` at the driver; fields with
         nullable=False are enforced AT WRITE TIME — a null in a required
@@ -448,6 +462,10 @@ def encode(
     unknown = [c for c in list(partition_cols) + list(sort_cols or []) if c not in s_of]
     if unknown:
         raise ValueError(f"unknown partition/sort columns: {unknown}")
+    bloom_set = set(bloom_cols or [])
+    bad_bloom = [c for c in sorted(bloom_set) if c not in s_of]
+    if bad_bloom:
+        raise ValueError(f"unknown bloom columns: {bad_bloom}")
     bucket_expr, salt_expr = unit_exprs(
         safe,
         [s_of[c] for c in partition_cols],
@@ -480,5 +498,6 @@ def encode(
     fn = _make_encode_fn(safe, dtypes, chunk_rows, codec,
                          sort_cols=chunk_sort or None, uid_namespace=uid_namespace,
                          display=columns,
-                         required={s_of[c] for c in required_names} or None)
+                         required={s_of[c] for c in required_names} or None,
+                         bloom_cols={s_of[c] for c in bloom_set} or None)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)

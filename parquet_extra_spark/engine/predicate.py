@@ -216,19 +216,22 @@ def _typed_value(v, dtype: str):
     return F.lit(v)
 
 
-def _stat_cols(c: str, dtype: str) -> tuple[Column, Column, Column, Column, Column]:
+def _stat_cols(
+    c: str, dtype: str
+) -> tuple[Column, Column, Column, Column, Column, Column]:
     mn = _typed(F.col(f"`{c}_mn`"), dtype)
     mx = _typed(F.col(f"`{c}_mx`"), dtype)
     nc = F.col(f"`{c}_nc`")
     nv = F.col(f"`{c}_nv`")
     mh = F.col(f"`{c}_mh`")  # membership digest; NULL = no digest
-    return mn, mx, nc, nv, mh
+    bl = F.col(f"`{c}_bl`")  # bloom digest; NULL = no bloom
+    return mn, mx, nc, nv, mh, bl
 
 
 def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
     """-> (possible, certain) boolean Columns over the wide stats frame."""
     if isinstance(pred, Cmp):
-        mn, mx, nc, nv, mh = _stat_cols(pred.column, dtypes[pred.column])
+        mn, mx, nc, nv, mh, bl = _stat_cols(pred.column, dtypes[pred.column])
         v = _typed_value(pred.value, dtypes[pred.column])
         has_non_null = nc < nv
         no_nulls = nc == F.lit(0)
@@ -258,9 +261,15 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
             # literals get h=None and fall back to min/max only.
             h = stats_lib.member_hash_for(pred.value, dtypes[pred.column])
             if h is not None:
+                from .pushdown import bloom_hit_expr
+
                 possible = possible & (
                     mh.isNull() | F.array_contains(mh, F.lit(h))
                 )
+                # Bloom refinement (opt-in bloom_cols at encode): same
+                # contract at high cardinality — an unset probed bit
+                # proves the value absent (no false negatives)
+                possible = possible & (bl.isNull() | bloom_hit_expr(bl, h))
             certain = no_nulls & mn.isNotNull() & mx.isNotNull() & (mn == v) & (mx == v)
         elif pred.op == "ne":
             # every non-null row equals v iff mn == mx == v (then no row
@@ -272,11 +281,15 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
             )
             h = stats_lib.member_hash_for(pred.value, dtypes[pred.column])
             if h is not None:
+                from .pushdown import bloom_hit_expr
+
                 # digest proves v absent -> every non-null row differs;
                 # with no nulls that's certain (strengthens NOT-pruning:
                 # possible(¬ne) = ¬certain(ne))
                 certain = certain | (
                     no_nulls & mh.isNotNull() & ~F.array_contains(mh, F.lit(h))
+                ) | (
+                    no_nulls & bl.isNotNull() & ~bloom_hit_expr(bl, h)
                 )
         else:  # pragma: no cover
             raise ValueError(pred.op)
@@ -289,10 +302,10 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
         certain = reduce(lambda a, b: a | b, (c for _, c in parts))
         return possible, certain
     if isinstance(pred, IsNull):
-        _, _, nc, nv, _ = _stat_cols(pred.column, dtypes[pred.column])
+        _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc > F.lit(0), nc == nv
     if isinstance(pred, NotNull):
-        _, _, nc, nv, _ = _stat_cols(pred.column, dtypes[pred.column])
+        _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc < nv, nc == F.lit(0)
     if isinstance(pred, And):
         pl, cl = _eval_stats(pred.left, dtypes)
@@ -312,12 +325,13 @@ def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
     """One row per chunk_id with (mn, mx, nc, nv, mh) per referenced column
     — a groupBy+pivot over metadata columns only (payloads pruned from the
     scan), one small shuffle regardless of table size."""
-    if "member_hashes" not in chunks.columns:
-        # chunk tables persisted before the digest column existed read
-        # back without it — treat as "no digest" (sound, never prunes)
-        chunks = chunks.withColumn(
-            "member_hashes", F.lit(None).cast("array<bigint>")
-        )
+    for digest_col in ("member_hashes", "member_bloom"):
+        if digest_col not in chunks.columns:
+            # chunk tables persisted before a digest column existed read
+            # back without it — treat as "no digest" (sound, never prunes)
+            chunks = chunks.withColumn(
+                digest_col, F.lit(None).cast("array<bigint>")
+            )
     return (
         chunks.filter(F.col("column").isin(columns))
         .groupBy("chunk_id")
@@ -328,6 +342,7 @@ def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
             F.first("null_count").alias("nc"),
             F.first("n_values").alias("nv"),
             F.first("member_hashes").alias("mh"),
+            F.first("member_bloom").alias("bl"),
         )
     )
 

@@ -49,6 +49,29 @@ def _typed_bound(v, dtype: str):
     return F.lit(v)
 
 
+def bloom_hit_expr(bl: Column, h: int) -> Column:
+    """True iff the per-chunk Bloom digest ADMITS canonical member hash
+    ``h`` — all k probed bits set (stats.bloom_positions is the shared
+    encode/plan contract). An unset bit proves the value absent (blooms
+    have no false negatives), so ``~bloom_hit_expr`` is a sound skip;
+    callers must keep chunks whose digest column is NULL. Pure Catalyst:
+    k element_at + bitwiseAND tests with literal positions/masks."""
+    from functools import reduce
+
+    from .stats import _BLOOM_BITS_PER_WORD, bloom_positions
+
+    return reduce(
+        lambda a, b: a & b,
+        (
+            F.element_at(bl, p // _BLOOM_BITS_PER_WORD + 1).bitwiseAND(
+                F.lit(1 << (p % _BLOOM_BITS_PER_WORD))
+            )
+            != F.lit(0)
+            for p in bloom_positions(h)
+        ),
+    )
+
+
 def semi_join_surviving(chunks: DataFrame, surviving: DataFrame) -> DataFrame:
     """Semi-join the full chunk rows against a surviving chunk-id set.
 
@@ -114,23 +137,31 @@ def chunk_isin_filter(
     mn = _typed_stat(F.col("min_val"), dtype)
     mx = _typed_stat(F.col("max_val"), dtype)
     has_digest = "member_hashes" in chunks.columns
+    has_bloom = "member_bloom" in chunks.columns
     any_in = None
     for v in values:
         vl = _typed_bound(v, dtype)
         hit = (mn.isNull() | (mn <= vl)) & (mx.isNull() | (mx >= vl))
-        if has_digest:
-            # dictionary-membership refinement: a small exact dictionary
-            # that provably lacks v skips the chunk even when [min,max]
-            # straddles it (engine/stats.member_hash_for; NULL digest or
+        if has_digest or has_bloom:
+            # membership refinement: a small exact dictionary — or an
+            # opt-in Bloom digest at high cardinality — that provably
+            # lacks v skips the chunk even when [min,max] straddles it
+            # (engine/stats.member_hash_for; NULL digest or
             # type-mismatched literal = min/max only, sound)
             from .stats import member_hash_for
 
             h = member_hash_for(v, dtype)
             if h is not None:
-                hit = hit & (
-                    F.col("member_hashes").isNull()
-                    | F.array_contains("member_hashes", F.lit(h))
-                )
+                if has_digest:
+                    hit = hit & (
+                        F.col("member_hashes").isNull()
+                        | F.array_contains("member_hashes", F.lit(h))
+                    )
+                if has_bloom:
+                    hit = hit & (
+                        F.col("member_bloom").isNull()
+                        | bloom_hit_expr(F.col("member_bloom"), h)
+                    )
         any_in = hit if any_in is None else (any_in | hit)
     surviving = stat_rows.filter(any_in).select("chunk_id")
     return semi_join_surviving(chunks, surviving)

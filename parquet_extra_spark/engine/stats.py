@@ -44,6 +44,9 @@ class ColumnStats:
     # when the dictionary was sampled/extrapolated or too large — see
     # member_hash_for (the plan-side half of the digest contract)
     members: list[int] | None = None
+    # Bloom digest over the EXACT distinct-value set (opt-in, any
+    # cardinality): _BLOOM_WORDS 63-bit words, or None
+    bloom: list[int] | None = None
 
 
 # membership digest: only dtypes whose plan-time literals canonicalize to
@@ -73,6 +76,53 @@ def member_hash_for(value, dtype: str) -> int | None:
     if dtype == "string":
         return _member_hash(value) if isinstance(value, str) else None
     return None
+
+
+# Bloom digest (opt-in per column via encode(bloom_cols=...)): point-
+# lookup pruning on HIGH-cardinality columns, where the exact member
+# list is too big — the chunk-table analogue of parquet-mr's optional
+# per-column bloom filters. 8190 bits packed 63 per int64 word (bit 63
+# never used, so every mask literal is a positive int64 and the plan
+# side tests bits with plain bitwiseAND — no unsigned-shift gymnastics).
+# k=6 double-hashed probes from the SAME canonical 63-bit member hash
+# the exact digest uses, so member_hash_for is the single plan-side
+# contract for both digests. No false negatives by construction: an
+# unset bit PROVES the value absent from the chunk; false positives
+# only widen `possible` (sound). At the default chunk size (65536 rows,
+# worst case all-distinct) fpp ~ (1-e^(-k*n/m))^k with m=8190 is high —
+# size the chunk or accept weaker pruning; at <=2048 distinct/chunk
+# fpp < 1e-3.
+_BLOOM_BITS_PER_WORD = 63
+_BLOOM_WORDS = 130
+_BLOOM_BITS = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD  # 8190
+_BLOOM_K = 6
+
+
+def bloom_positions(h: int) -> list[int]:
+    """k bit positions from a canonical member hash (double hashing:
+    Kirsch–Mitzenmacher). Same function on the encode and plan sides."""
+    h1 = h & 0xFFFFFFFF
+    h2 = ((h >> 32) & 0x7FFFFFFF) | 1  # odd -> coprime with any m
+    return [(h1 + i * h2) % _BLOOM_BITS for i in range(_BLOOM_K)]
+
+
+def _bloom_digest(dict_arr: pa.Array, dtype: str) -> list[int] | None:
+    """Encode-side Bloom words from an EXACT dictionary (never from the
+    sampled wide-string path — a sampled bloom would have false
+    negatives and unsoundly skip chunks)."""
+    if dict_arr is None or len(dict_arr) == 0:
+        return None
+    if dtype == "boolean" or dtype in typemap.INT_DTYPES:
+        vals = [str(v) for v in dict_arr.to_pylist()]
+    elif dtype == "string":
+        vals = dict_arr.to_pylist()
+    else:
+        return None
+    words = [0] * _BLOOM_WORDS
+    for v in vals:
+        for p in bloom_positions(_member_hash(v)):
+            words[p // _BLOOM_BITS_PER_WORD] |= 1 << (p % _BLOOM_BITS_PER_WORD)
+    return words
 
 
 def _member_digest(dict_arr: pa.Array, dtype: str) -> list[int] | None:
@@ -199,10 +249,11 @@ _DICT_SAMPLE_ROWS = 2048
 _WIDE_STR_BYTES = 128
 
 
-def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
+def compute_stats(arr: pa.Array, dtype: str, bloom: bool = False) -> ColumnStats:
     n = len(arr)
     raw = raw_size(arr, dtype)
     members: list[int] | None = None
+    bloom_words: list[int] | None = None
     if dtype.startswith("array<"):
         dict_n, n_runs, dict_bytes = 0, n, 0
         mn, mx = None, None
@@ -235,6 +286,10 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
     else:
         dict_n, n_runs, dict_bytes, dict_arr = _dict_facts(arr, dtype)
         members = _member_digest(dict_arr, dtype)
+        if bloom and members is None:
+            # exact digest already covers small dictionaries (stronger
+            # and smaller); the bloom earns its ~1 KB only above the cap
+            bloom_words = _bloom_digest(dict_arr, dtype)
         mn, mx = _minmax_strings(arr, dtype)
     return ColumnStats(
         n=n,
@@ -246,6 +301,7 @@ def compute_stats(arr: pa.Array, dtype: str) -> ColumnStats:
         max_val=mx,
         dict_bytes=dict_bytes,
         members=members,
+        bloom=bloom_words,
     )
 
 
