@@ -24,6 +24,7 @@ from .engine.pushdown import (
 )
 from .engine.aggregates import metadata_profile
 from .engine.compact import compact_chunks, compaction_stats
+from .engine.zorder import zorder_encode, zorder_key
 from .engine.predicate import (
     P,
     Pred,
@@ -61,6 +62,10 @@ from .plans import explain_summary, pushed_filters, read_schema
 __all__ = [
     "encode",
     "encode_plan",
+    "compact_chunks",
+    "compaction_stats",
+    "zorder_encode",
+    "zorder_key",
     "recommend_salts",
     "decode",
     "discover_schema",

@@ -139,6 +139,27 @@ def test_roundtrip_with_bloom(spark, even, bloom_chunks):
     assert pes.roundtrip_ok(even, pes.decode(bloom_chunks))
 
 
+def test_bloom_never_false_negative_property():
+    """Soundness invariant, no Spark needed: for ANY value set, every
+    member's probed bits are set in the built digest (false negatives
+    are impossible by construction — the property the skip relies on)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    W = stats_mod._BLOOM_BITS_PER_WORD
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1))
+    def check(vals):
+        words = stats_mod._bloom_digest(pa.array(vals, pa.int64()), "bigint")
+        for v in vals:
+            h = stats_mod.member_hash_for(v, "bigint")
+            for p in stats_mod.bloom_positions(h):
+                assert words[p // W] >> (p % W) & 1, (v, p)
+
+    check()
+
+
 def test_legacy_chunk_table_without_bloom_column(spark, bloom_chunks):
     legacy = bloom_chunks.drop("member_bloom", "member_hashes")
     # no digest columns -> only range pruning remains; the straddling
