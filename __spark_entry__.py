@@ -464,6 +464,32 @@ def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering (engine/zorder.py): events encoded
+    along the Morton curve of (user_id, value), then a 2-D box query via
+    filter_decode_pred. Chunk [min,max] stats are ~hyper-rectangles in z
+    space, so BOTH dimensions prune — the Delta OPTIMIZE ZORDER BY
+    analogue; the oracle is the plain relational filter the pruned
+    decode must exactly reproduce."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    chunks = pes.zorder_encode(
+        ev, ["user_id", "value"], chunk_rows=512,
+        n_buckets=2, n_salts=1, num_partitions=2,
+    )
+    pred = (
+        pes.P.ge("user_id", 2) & pes.P.le("user_id", 9)
+        & pes.P.ge("value", 5.0) & pes.P.le("value", 80.0)
+    )
+    dec = pes.filter_decode_pred(
+        chunks, pred, columns=["event_id", "user_id", "value"]
+    )
+    return dec.select(
+        "event_id", "user_id", F.round(F.col("value"), 6).alias("value_r")
+    )
+
+
 def q_roundtrip_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance path (engine/compact.py): fragment-encode the table
     into tiny chunks (the shape streaming micro-batch ingest leaves
@@ -563,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_accounting": q_chunk_accounting,
         "metadata_agg": q_metadata_agg,
         "roundtrip_compacted": q_roundtrip_compacted,
+        "zorder_box": q_zorder_box,
         "point_lookup_bloom": q_point_lookup_bloom,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -935,6 +962,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_events": (
             "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,"
             " round(value, 6) AS value_r, props FROM events"
+        ),
+        "zorder_box": (
+            "SELECT event_id, user_id, round(value, 6) AS value_r"
+            " FROM events WHERE user_id BETWEEN 2 AND 9"
+            " AND value BETWEEN 5.0 AND 80.0"
         ),
         "roundtrip_nested": (
             "SELECT o_custkey,"
