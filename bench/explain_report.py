@@ -105,6 +105,31 @@ def main() -> None:
         formatted(pruned) + "\n\nassertions: " + json.dumps(explain_summary(pruned)),
     ))
 
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zch = pes.zorder_encode(
+        ev, ["user_id", "value"], chunk_rows=512, n_buckets=2, n_salts=1,
+        num_partitions=2,
+    ).cache()
+    zch.count()
+    box = (
+        pes.P.ge("user_id", 2) & pes.P.le("user_id", 9)
+        & pes.P.ge("value", 5.0) & pes.P.le("value", 80.0)
+    )
+    zs = pes.pushdown_stats_pred(zch, box)
+    sections.append((
+        "Z-order box query (2-D chunk pruning)",
+        "Morton-interleaved (user_id, value) sort key: chunk [min,max] "
+        "stats tile as ~hyper-rectangles, so the 2-D box prunes chunks "
+        "on BOTH dimensions from metadata alone — "
+        f"kept {zs['chunks_kept']}/{zs['chunks_total']} chunks. A "
+        "single-column sort would only prune the leading key. The z key "
+        "is pure Catalyst bit arithmetic (no UDF at ingest).",
+        formatted(pes.filter_decode_pred(zch, box)),
+    ))
+    zch.unpersist()
+
     from parquet_extra_spark import operators as ops
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
