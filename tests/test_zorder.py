@@ -129,6 +129,32 @@ def test_zorder_nulls_and_constant_column(spark):
     assert pes.roundtrip_ok(df, pes.decode(ch).drop("__z"))
 
 
+def test_zorder_composes_with_partition_and_bloom(spark, events):
+    """The passthrough kwargs a real ingest would use: hash-clustered
+    partition_cols for the string dimension, bloom digests for point
+    lookups, z-order for the numeric box — all on one chunk table."""
+    ev = events.withColumn(
+        "shard", F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string"))
+    )
+    ch = pes.zorder_encode(
+        ev, ["user_id", "value"],
+        partition_cols=["shard"], bloom_cols={"event_id"},
+        chunk_rows=64, n_buckets=2, n_salts=1, num_partitions=2,
+    ).cache()
+    ch.count()
+    assert pes.roundtrip_ok(ev, pes.decode(ch).drop("__z"))
+    # box pruning still bites with partition clustering in front
+    pred = pes.P.ge("user_id", 100) & pes.P.le("user_id", 200) \
+        & pes.P.ge("value", 10.0) & pes.P.le("value", 30.0)
+    s = pes.pushdown_stats_pred(ch, pred)
+    assert s["chunks_kept"] < s["chunks_total"]
+    # and the bloom digest prunes a point probe on the un-z'd key
+    some_id = ev.select("event_id").first()[0]
+    got = pes.filter_decode_pred(ch, pes.P.eq("event_id", some_id))
+    assert got.count() == ev.filter(F.col("event_id") == some_id).count()
+    ch.unpersist()
+
+
 def test_zorder_explicit_bounds_skip_quantile_pass(spark, events):
     z1 = pes.zorder_key(
         events, ["user_id", "value"],
