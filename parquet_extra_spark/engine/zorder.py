@@ -63,8 +63,11 @@ def zorder_key(
         qs = df.select(
             *[F.col(f"`{c}`").cast("double").alias(f"q{i}") for i, c in enumerate(missing)]
         ).approxQuantile([f"q{i}" for i in range(len(missing))], [0.005, 0.995], 0.001)
-        for c, (lo, hi) in zip(missing, qs or [[0.0, 0.0]] * len(missing)):
-            bounds[c] = (lo, hi)
+        for c, q in zip(missing, qs or [[]] * len(missing)):
+            # approxQuantile returns [] for an all-NULL column: no
+            # ordering information — degenerate bounds put every row in
+            # bucket 0 (same as a constant column)
+            bounds[c] = (q[0], q[1]) if len(q) == 2 else (0.0, 0.0)
 
     nb = 1 << n_bits
     k = len(zorder_cols)

@@ -116,6 +116,19 @@ def test_zorder_validation(spark, events):
         pes.zorder_encode(events, ["user_id", "value"], unit_sort=False, **_KW)
 
 
+def test_zorder_all_null_column(spark):
+    """approxQuantile returns [] for an all-NULL column; it must fall
+    back to degenerate bounds (bucket 0), not crash — and the other
+    dimension keeps its ordering."""
+    df = spark.range(300).select(
+        F.col("id"), F.lit(None).cast("double").alias("allnull")
+    )
+    ch = pes.zorder_encode(df, ["id", "allnull"], **_KW)
+    assert pes.roundtrip_ok(df, pes.decode(ch).drop("__z"))
+    kept, total = _kept(ch, pes.P.le("id", 50))
+    assert kept < total
+
+
 def test_zorder_nulls_and_constant_column(spark):
     df = (
         spark.range(500)
