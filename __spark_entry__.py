@@ -552,6 +552,22 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.simhash_dedup(_docs(spark, sf_dir), hash_method="md5")
 
 
+def q_encoded_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-over-compressed: GROUP BY counts derived from dictionary
+    codes / RLE run lengths — the column's values materialize only at
+    dictionary scale (engine/encoded_agg.value_counts_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.value_counts_encoded(chunks, "lang")
+
+
+def q_encoded_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-over-compressed: grouped int64-exact SUM where the group
+    key is read as dictionary codes, never materialized per row
+    (engine/encoded_agg.group_sum_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_sum_encoded(chunks, "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -593,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_bloom": q_point_lookup_bloom,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "encoded_group_count": q_encoded_group_count,
+        "encoded_group_sum": q_encoded_group_sum,
     }
 
 
@@ -894,6 +912,13 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (n_chars < 300 AND lang = 'en')"
             " OR (source <> 'src0' AND n_chars > 520)"
             " OR NOT (lang IN ('en', 'de', 'es', 'fr', 'zh'))"
+        ),
+        "encoded_group_count": (
+            "SELECT lang AS value, count(*) AS cnt FROM documents GROUP BY lang"
+        ),
+        "encoded_group_sum": (
+            "SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS s"
+            " FROM documents GROUP BY lang"
         ),
         "column_profile": profile_union,
         "infer_repetition": rep_union,

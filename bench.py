@@ -178,7 +178,10 @@ def main() -> None:
         t_enc, t_ref, probes = [], [], []
         for attempt in range(20):
             elapsed = time.time() - t_start
-            if elapsed > 420 and t_enc:
+            # soft budget needs >=2 pairs: a single pair can be a throttled
+            # window and would become the committed artifact (the round-2
+            # failure mode); only the hard cap may stop a 1-pair run
+            if (elapsed > 420 and len(t_enc) >= 2) or (elapsed > 560 and t_enc):
                 break
             p = window_probe()
             probe_best = min(probe_best, p)

@@ -23,6 +23,7 @@ from .engine.pushdown import (
     pushdown_stats,
 )
 from .engine.aggregates import metadata_profile
+from .engine.encoded_agg import group_sum_encoded, value_counts_encoded
 from .engine.compact import compact_chunks, compaction_stats
 from .engine.zorder import zorder_encode, zorder_key
 from .engine.predicate import (
@@ -83,6 +84,8 @@ __all__ = [
     "filter_decode_isin",
     "filter_decode_null",
     "pushdown_stats",
+    "value_counts_encoded",
+    "group_sum_encoded",
     "P",
     "Pred",
     "filter_decode_pred",

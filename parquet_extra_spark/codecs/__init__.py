@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from . import delta, dictionary, forpack, fsst, listcodec, raw, rle
+from . import bss, delta, dictionary, forpack, fsst, listcodec, raw, rle
 
 CODECS = {
     "dict": dictionary,
@@ -20,6 +20,7 @@ CODECS = {
     "delta": delta,
     "fsst": fsst,
     "raw": raw,
+    "bss": bss,
     "list": listcodec,
 }
 

@@ -345,7 +345,9 @@ def _candidates(arr: pa.Array, dtype: str, stats: ColumnStats) -> list[str]:
             cands.append("rle")
         return cands
     if dtype in typemap.FLOAT_DTYPES:
-        cands = ["raw"]
+        # bss (byte-stream-split) beats raw+zstd on high-entropy floats
+        # (grouped sign/exponent bytes); the trial pass decides per chunk
+        cands = ["raw", "bss"]
         if dict_n <= n * 0.5:
             cands.append("dict")
         if avg_run >= 2.0:

@@ -68,7 +68,7 @@ def test_bigint_property(values):
 @_settings
 @given(opt_double)
 def test_double_property(values):
-    rt(values, pa.float64(), "double", ["dict", "rle", "raw"])
+    rt(values, pa.float64(), "double", ["dict", "rle", "raw", "bss"])
 
 
 @_settings

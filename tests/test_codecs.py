@@ -212,7 +212,7 @@ def test_wrong_dtype_rejected():
 
 
 def test_registry_complete():
-    assert set(CODECS) == {"dict", "rle", "for", "delta", "fsst", "raw", "list"}
+    assert set(CODECS) == {"dict", "rle", "for", "delta", "fsst", "raw", "bss", "list"}
 
 
 def test_delta_beats_for_on_sorted_wide_range():
