@@ -568,6 +568,46 @@ def q_encoded_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.group_sum_encoded(chunks, "lang", "n_chars")
 
 
+def q_roundtrip_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM on the chunk table (engine/maintain.delete_where):
+    certain-match chunks drop on metadata, boundary chunks rewrite,
+    the rest pass through byte-identical; decoded result must equal the
+    SQL anti-filter (NULL-predicate rows survive, like SQL DELETE)."""
+    docs = _docs(spark, sf_dir)
+    chunks = pes.encode(docs, **_DOC_ENCODE).cache()
+    pred = pes.P.eq("lang", "en") | pes.P.gt("n_chars", 500)
+    out = pes.delete_where(
+        chunks, pred, schema_cols=pes.schema_from_struct(docs.schema),
+        chunk_rows=4096, num_partitions=8,
+    )
+    return pes.decode(out, schema_cols=pes.schema_from_struct(docs.schema))
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (whole-row upsert, engine/maintain.merge_rows): rows of
+    the batch replace same-key rows and append otherwise; only chunks
+    whose stats/digests admit a batch key are rewritten."""
+    docs = _docs(spark, sf_dir)
+    schema_cols = pes.schema_from_struct(docs.schema)
+    chunks = pes.encode(docs, **_DOC_ENCODE).cache()
+    updates = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    inserts = spark.createDataFrame(
+        [(-1, "inserted", "xx", "srcX", 8)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = pes.merge_rows(
+        chunks, updates.unionByName(inserts), "doc_id",
+        schema_cols=schema_cols, chunk_rows=4096, num_partitions=8,
+    )
+    return pes.decode(out, schema_cols=schema_cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -611,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "encoded_group_count": q_encoded_group_count,
         "encoded_group_sum": q_encoded_group_sum,
+        "roundtrip_after_delete": q_roundtrip_after_delete,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -912,6 +954,19 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (n_chars < 300 AND lang = 'en')"
             " OR (source <> 'src0' AND n_chars > 520)"
             " OR NOT (lang IN ('en', 'de', 'es', 'fr', 'zh'))"
+        ),
+        "roundtrip_after_delete": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE NOT coalesce(lang = 'en' OR n_chars > 500, FALSE)"
+        ),
+        "merge_upsert": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE doc_id >= 5"
+            " UNION ALL SELECT doc_id,"
+            " 'UPDATED' || CAST(doc_id AS VARCHAR) AS text, lang, source,"
+            " n_chars FROM documents WHERE doc_id < 5"
+            " UNION ALL SELECT CAST(-1 AS BIGINT), 'inserted', 'xx', 'srcX',"
+            " CAST(8 AS BIGINT)"
         ),
         "encoded_group_count": (
             "SELECT lang AS value, count(*) AS cnt FROM documents GROUP BY lang"

@@ -25,6 +25,7 @@ from .engine.pushdown import (
 from .engine.aggregates import metadata_profile
 from .engine.encoded_agg import group_sum_encoded, value_counts_encoded
 from .engine.compact import compact_chunks, compaction_stats
+from .engine.maintain import delete_stats, delete_where, merge_rows
 from .engine.zorder import zorder_encode, zorder_key
 from .engine.predicate import (
     P,
@@ -65,6 +66,9 @@ __all__ = [
     "encode_plan",
     "compact_chunks",
     "compaction_stats",
+    "delete_where",
+    "delete_stats",
+    "merge_rows",
     "zorder_encode",
     "zorder_key",
     "recommend_salts",
