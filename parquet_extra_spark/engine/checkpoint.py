@@ -37,7 +37,8 @@ from .encoder import encode, unit_exprs
 
 _MANIFEST_SCHEMA = (
     "part_key string, salt int, run_id string, n_chunks long, n_values long,"
-    " raw_bytes long, encoded_bytes long, committed_at double"
+    " raw_bytes long, encoded_bytes long, committed_at double,"
+    " dataset_id string"
 )
 
 
@@ -51,25 +52,44 @@ def _chunks_path(out_dir: str) -> str:
 
 def load_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     try:
-        return spark.read.parquet(_manifest_path(out_dir))
+        m = spark.read.parquet(_manifest_path(out_dir))
     except Exception:
         return spark.createDataFrame([], _MANIFEST_SCHEMA)
+    if "dataset_id" not in m.columns:
+        # manifests written before append-batch support: one dataset ""
+        m = m.withColumn("dataset_id", F.lit(""))
+    return m
 
 
 def encode_to(
     df: DataFrame,
     out_dir: str,
     run_id: str | None = None,
+    dataset_id: str = "",
     **encode_kwargs,
 ) -> dict:
-    """Encode ``df`` into ``out_dir``, skipping work units already in the
-    manifest. Returns a summary dict. Call again after a crash to resume:
-    completed units are never re-encoded."""
+    """Encode ``df`` into ``out_dir``, skipping work units this DATASET
+    already committed to the manifest. Returns a summary dict. Call again
+    with the same ``dataset_id`` after a crash to resume: completed units
+    of that dataset are never re-encoded.
+
+    ``dataset_id`` scopes the resume contract. The default "" treats the
+    whole out_dir as one logical dataset (one big encode, restartable).
+    APPENDING new data must use a fresh dataset_id per batch (streaming
+    micro-batches pass their batch id): unit identity is (dataset_id,
+    part_key, salt), so a new batch whose rows hash into units an earlier
+    batch committed is encoded normally instead of being skipped as
+    "already done" — while a REPLAY of the same batch (same dataset_id)
+    still resumes exactly. The dataset_id also namespaces chunk ids
+    (uid_namespace) so chunks of different batches can never collide in
+    the decoder's structural identity check.
+    """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
+    encode_kwargs.setdefault("uid_namespace", dataset_id)
 
-    # resume: drop source rows of already-committed (part_key, salt) units
-    # BEFORE encoding — completed work is never recomputed (left_anti).
+    # resume: drop source rows of units already committed BY THIS DATASET
+    # before encoding — completed work is never recomputed (left_anti).
     bucket_expr, salt_expr = unit_exprs(
         df.columns,
         encode_kwargs.get("partition_cols"),
@@ -77,7 +97,12 @@ def encode_to(
         encode_kwargs.get("n_salts", 8),
         encode_kwargs.get("salt_col"),
     )
-    manifest = load_manifest(spark, out_dir).select("part_key", "salt").distinct()
+    manifest = (
+        load_manifest(spark, out_dir)
+        .filter(F.col("dataset_id") == dataset_id)
+        .select("part_key", "salt")
+        .distinct()
+    )
     src = df.withColumn(
         "__pe_unit_pk", F.concat(F.lit("b"), bucket_expr.cast("string"))
     ).withColumn("__pe_unit_salt", salt_expr)
@@ -111,9 +136,10 @@ def encode_to(
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at", F.lit(time.time()))
+        .withColumn("dataset_id", F.lit(dataset_id))
         .select(
             "part_key", "salt", "run_id", "n_chunks", "n_values",
-            "raw_bytes", "encoded_bytes", "committed_at",
+            "raw_bytes", "encoded_bytes", "committed_at", "dataset_id",
         )
     )
     unit_rows.write.mode("append").parquet(_manifest_path(out_dir))
@@ -132,11 +158,38 @@ def encode_to(
     }
 
 
-def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    as_of: float | None = None,
+    after: float | None = None,
+) -> DataFrame:
     """Committed chunks only: join against the manifest on
-    (part_key, salt, run_id) so orphans from crashed runs are invisible."""
+    (part_key, salt, run_id) so orphans from crashed runs are invisible.
+
+    The manifest is append-only (exactly one row per committed work
+    unit), so its ``committed_at`` column is a consistent ingest
+    frontier — two snapshot forms come for free, the Iceberg
+    snapshot-read / incremental-scan analogue at unit granularity:
+
+    * ``as_of=T`` — time travel: only units committed at or before T
+      (the table exactly as a reader at time T saw it; an interrupted
+      ingest's later resume never bleeds in).
+    * ``after=T`` — incremental consumption: only units committed
+      strictly after T (a downstream job processes each unit exactly
+      once by remembering the max ``committed_at`` it has consumed —
+      CDC-style, no full rescan).
+
+    Both filters are metadata-only: they cut the manifest before the
+    semi-join, so unread units' chunk files are never opened.
+    """
     chunks = spark.read.parquet(_chunks_path(out_dir))
-    manifest = load_manifest(spark, out_dir).select("part_key", "salt", "run_id")
+    manifest = load_manifest(spark, out_dir)
+    if as_of is not None:
+        manifest = manifest.filter(F.col("committed_at") <= as_of)
+    if after is not None:
+        manifest = manifest.filter(F.col("committed_at") > after)
+    manifest = manifest.select("part_key", "salt", "run_id")
     return chunks.join(
         F.broadcast(manifest), ["part_key", "salt", "run_id"], "left_semi"
     ).drop("run_id")
@@ -146,6 +199,8 @@ def decode_checkpoint(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
+    as_of: float | None = None,
+    after: float | None = None,
     **decode_kwargs,
 ) -> DataFrame:
     """Decode a checkpointed chunk table, using the no-shuffle co-located
@@ -160,7 +215,7 @@ def decode_checkpoint(
     costs a scan of one id column; the win is not shuffling 100 TB."""
     from .decoder import check_colocated, decode
 
-    chunks = read_chunks(spark, out_dir)
+    chunks = read_chunks(spark, out_dir, as_of=as_of, after=after)
     colocated = decode_kwargs.pop("colocated", None)
     if colocated is None:
         colocated = check_colocated(chunks)

@@ -39,13 +39,20 @@ def encode_stream(
     **encode_kwargs,
 ) -> StreamingQuery:
     """Start (and with trigger_once=True, run to completion) a streaming
-    encode into ``out_dir``. Batch ids become run ids, so chunk lineage
-    records exactly which micro-batch produced each unit."""
+    encode into ``out_dir``. Each micro-batch is its own DATASET
+    (dataset_id = batch id), so lineage records which micro-batch
+    produced each unit AND a later batch whose rows hash into units an
+    earlier batch already committed is encoded normally instead of being
+    skipped by the resume anti-join (unit identity is per-dataset; see
+    encode_to). A replayed batch — crash between the manifest commit and
+    Spark's offset commit — resumes its own dataset exactly: committed
+    units skip, incomplete units re-encode under a fresh physical run_id
+    so any orphan chunk files from the crashed attempt stay invisible."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        encode_to(batch_df, out_dir, run_id=f"stream{batch_id:08d}", **encode_kwargs)
+        encode_to(batch_df, out_dir, dataset_id=f"stream{batch_id:08d}", **encode_kwargs)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle_batch)
