@@ -608,6 +608,27 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.decode(out, schema_cols=schema_cols)
 
 
+def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk table as a registered Spark data source (Python Data
+    Source API): plain spark.read.format("chunktable") + DataFrame
+    filters; pushFilters maps them onto chunk-stats pruning while Spark
+    re-applies them exactly (sources/chunk_datasource.py)."""
+    import os as _os
+
+    from parquet_extra_spark.sources import ChunkTableDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChunkTableDataSource)
+    docs = _docs(spark, sf_dir)
+    out = f"/tmp/pes_chunktable_{_os.path.basename(sf_dir.rstrip('/'))}"
+    pes.encode(docs, **_DOC_ENCODE).write.mode("overwrite").parquet(out)
+    return (
+        spark.read.format("chunktable")
+        .load(out)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -653,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_sum": q_encoded_group_sum,
         "roundtrip_after_delete": q_roundtrip_after_delete,
         "merge_upsert": q_merge_upsert,
+        "datasource_filter": q_datasource_filter,
     }
 
 
@@ -954,6 +976,10 @@ def oracle_sql() -> dict[str, str]:
             " WHERE (n_chars < 300 AND lang = 'en')"
             " OR (source <> 'src0' AND n_chars > 520)"
             " OR NOT (lang IN ('en', 'de', 'es', 'fr', 'zh'))"
+        ),
+        "datasource_filter": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE lang = 'en' AND n_chars > 200"
         ),
         "roundtrip_after_delete": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

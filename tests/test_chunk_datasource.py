@@ -1,0 +1,168 @@
+"""The ``chunktable`` Spark data source: spark.read.format over an
+encoded directory must equal the source rows, prune chunks from plain
+Spark filters (soundly — Spark re-applies every filter exactly), and
+respect the checkpoint layout's committed-only rule."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import parquet_extra_spark as pes
+from parquet_extra_spark.sources import ChunkTableDataSource
+from parquet_extra_spark.sources.chunk_datasource import (
+    _Leaf,
+    _leaf_possible,
+    _translate,
+)
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, Not
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChunkTableDataSource)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def flat_dir(docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ct") / "flat")
+    pes.encode(
+        docs, partition_cols=["lang"], sort_cols=["doc_id"], chunk_rows=128,
+        n_buckets=4, n_salts=1,
+    ).write.parquet(out)
+    return out
+
+
+def test_read_flat_dir_roundtrips(registered, docs, flat_dir):
+    got = registered.read.format("chunktable").load(flat_dir)
+    assert pes.roundtrip_ok(docs, got)
+
+
+def test_filters_apply_exactly(registered, docs, flat_dir):
+    got = (
+        registered.read.format("chunktable")
+        .load(flat_dir)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+    )
+    want = docs.filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_isin_and_null_filters(registered, docs, flat_dir):
+    got = (
+        registered.read.format("chunktable")
+        .load(flat_dir)
+        .filter(F.col("lang").isin("de", "fr") & F.col("text").isNotNull())
+    )
+    want = docs.filter(F.col("lang").isin("de", "fr") & F.col("text").isNotNull())
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_checkpoint_layout_committed_only(registered, spark, docs, tmp_path):
+    out = str(tmp_path / "enc")
+    pes.encode_to(docs, out, partition_cols=["lang"], chunk_rows=128,
+                  n_buckets=2, n_salts=1)
+    # orphan run dir: chunk files with no manifest row must stay invisible
+    orphan = os.path.join(out, "chunks", "run_id=deadbeef")
+    spark.read.parquet(os.path.join(out, "chunks")).limit(3).drop(
+        "run_id"
+    ).write.parquet(orphan)
+    got = registered.read.format("chunktable").load(out)
+    assert pes.roundtrip_ok(docs, got)
+
+
+def test_pruning_actually_skips_chunks(registered, spark, tmp_path):
+    """Behavioral proof: a chunk whose stats exclude the filter gets its
+    payload CORRUPTED on disk; the filtered read still succeeds (the
+    chunk was skipped from stats alone) while an unfiltered read fails."""
+    out = str(tmp_path / "flat")
+    df = spark.createDataFrame(
+        [(i, "lo" if i < 500 else "hi") for i in range(1000)], "k bigint, g string"
+    )
+    chunks = pes.encode(df, partition_cols=["g"], sort_cols=["k"], chunk_rows=500,
+                        n_buckets=2, n_salts=1)
+    poisoned = chunks.withColumn(
+        "payload",
+        F.when(
+            (F.col("column") == "k") & (F.col("max_val").cast("long") < 500),
+            F.lit(b"\xde\xad"),
+        ).otherwise(F.col("payload")),
+    )
+    poisoned.write.parquet(out)
+    good = (
+        registered.read.format("chunktable").load(out).filter(F.col("k") >= 500)
+    )
+    assert sorted(r["k"] for r in good.collect()) == list(range(500, 1000))
+    with pytest.raises(Exception):
+        registered.read.format("chunktable").load(out).collect()
+
+
+def test_leaf_possible_skips_and_keeps():
+    st = {
+        "null_count": 0, "n_values": 100, "min_val": "10", "max_val": "20",
+        "member_hashes": None, "member_bloom": None,
+    }
+    assert not _leaf_possible(_Leaf("gt", "x", 20), st, "bigint")
+    assert _leaf_possible(_Leaf("gt", "x", 19), st, "bigint")
+    assert not _leaf_possible(_Leaf("eq", "x", 5), st, "bigint")
+    assert _leaf_possible(_Leaf("eq", "x", 15), st, "bigint")
+    assert not _leaf_possible(_Leaf("lt", "x", 10), st, "bigint")
+    assert _leaf_possible(_Leaf("le", "x", 10), st, "bigint")
+    # all-null chunk: no comparison matches, but IS NULL does
+    allnull = dict(st, null_count=100, min_val=None, max_val=None)
+    assert not _leaf_possible(_Leaf("eq", "x", 15), allnull, "bigint")
+    assert _leaf_possible(_Leaf("isnull", "x"), allnull, "bigint")
+    assert not _leaf_possible(_Leaf("notnull", "x"), allnull, "bigint")
+    # unknown bound keeps (sound); type-mismatched literal keeps (sound)
+    nobound = dict(st, max_val=None)
+    assert _leaf_possible(_Leaf("gt", "x", 10**9), nobound, "bigint")
+    assert _leaf_possible(_Leaf("eq", "x", "str"), st, "bigint")
+
+
+def test_member_digest_prunes_eq():
+    from parquet_extra_spark.engine.stats import _member_hash
+
+    st = {
+        "null_count": 0, "n_values": 100, "min_val": "a", "max_val": "z",
+        "member_hashes": sorted([_member_hash("en"), _member_hash("de")]),
+        "member_bloom": None,
+    }
+    # range [a..z] admits "fr" but the exact digest proves it absent
+    assert not _leaf_possible(_Leaf("eq", "lang", "fr"), st, "string")
+    assert _leaf_possible(_Leaf("eq", "lang", "en"), st, "string")
+
+
+def test_translate_shapes():
+    node = _translate(
+        [
+            EqualTo(("lang",), "en"),
+            GreaterThan(("n_chars",), 10),
+            In(("source",), ("a", "b")),
+            Not(EqualTo(("lang",), "xx")),
+        ]
+    )
+    st_en = {
+        "null_count": 0, "n_values": 10, "min_val": "en", "max_val": "en",
+        "member_hashes": None, "member_bloom": None,
+    }
+    st_n = {
+        "null_count": 0, "n_values": 10, "min_val": "0", "max_val": "5",
+        "member_hashes": None, "member_bloom": None,
+    }
+    dtypes = {"lang": "string", "n_chars": "bigint", "source": "string"}
+    # n_chars max 5 < 10 -> the AND tree is impossible for this chunk
+    stats = {"lang": st_en, "n_chars": st_n, "source": st_en}
+    assert not node.possible(stats, dtypes)
+    stats["n_chars"] = dict(st_n, max_val="50")
+    # lang == en possible, ne 'xx' possible, source IN impossible? min=max='en'
+    # -> source IN ('a','b') prunes it
+    assert not node.possible(stats, dtypes)
+    stats["source"] = dict(st_en, min_val="a", max_val="b")
+    assert node.possible(stats, dtypes)
