@@ -276,6 +276,42 @@ def main() -> None:
     ))
     frag.unpersist()
 
+    # compute-over-compressed grouped aggregation: the shuffle carries
+    # (value, partial-count) pairs from dictionary codes / RLE run lengths
+    vc_chunks = pes.encode(docs, **enc_kw).cache()
+    vc = pes.value_counts_encoded(vc_chunks, "lang")
+    sections.append((
+        "GROUP BY over the encoded form (value_counts_encoded)",
+        "The per-chunk kernel reads dictionary codes / RLE run lengths "
+        "(values materialize only at dictionary scale); the ONLY "
+        "Exchange under the final agg moves (value, partial-count) "
+        "pairs — ~n_chunks x distinct rows, not the column. At 100 TB a "
+        "GROUP BY lang shuffles kilobytes.",
+        formatted(vc),
+    ))
+
+    # DELETE: metadata-decided three-way split
+    sorted_chunks = pes.encode(
+        docs, sort_cols=["doc_id"], unit_sort=True, chunk_rows=64,
+        n_buckets=1, n_salts=1, num_partitions=1,
+    ).cache()
+    dpred = pes.P.ge("doc_id", 100) & pes.P.lt("doc_id", 400)
+    dstats = pes.delete_stats(sorted_chunks, dpred)
+    deleted = pes.delete_where(sorted_chunks, dpred, chunk_rows=64)
+    sections.append((
+        "row-level DELETE (delete_where)",
+        "(possible, certain) verdicts from chunk stats split the table "
+        "three ways before any payload moves: certain-match chunks DROP "
+        "on metadata, impossible chunks pass through byte-identical, "
+        "only boundary chunks decode+re-encode. On doc_id-sorted chunks "
+        f"the range delete drops {dstats['chunks_dropped']}, rewrites "
+        f"{dstats['chunks_rewritten']}, leaves {dstats['chunks_untouched']} "
+        f"of {dstats['chunks_total']} chunks untouched.",
+        formatted(deleted),
+    ))
+    sorted_chunks.unpersist()
+    vc_chunks.unpersist()
+
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     seg = (

@@ -59,6 +59,17 @@ def _as_array(col) -> pa.Array:
 
 _RESELECT_EVERY = 8  # re-run full codec selection every Nth chunk per column
 
+# Cross-task codec memo, keyed (schema_fp, column). PySpark reuses Python
+# worker processes across tasks (spark.python.worker.reuse, default on),
+# so module state survives the task boundary: when every task holds just
+# one chunk (fine-partitioned encodes — the scheduler-balance sweet spot),
+# a per-task memo never amortizes the trial-encode selection, but the
+# worker-level memo still does. Same staleness bound as the per-task memo
+# (_RESELECT_EVERY uses between full re-selections); one worker runs one
+# task at a time, so plain dict access is safe. Keying by schema_fp keeps
+# unrelated encodes from sharing hints.
+_WORKER_MEMO: dict = {}
+
 
 def _sort_table(table: pa.Table, sort_cols: list[str]) -> pa.Table:
     """Columnar in-chunk sort: np.lexsort over dictionary codes + one Arrow
@@ -132,15 +143,16 @@ def _chunk_rows_batch(
                 f"required column {labels[idx]!r} has {st.null_count} null"
                 f" value(s) in chunk (part_key={part_key!r} seq={seq})"
             )
-        hint, uses = memo.get(col, (None, 0))
+        memo_key = (schema_fp, col)
+        hint, uses = memo.get(memo_key, (None, 0))
         if forced_codec is not None:
             codec, payload = stats_mod.choose_and_encode(arr, dtype, st, forced_codec)
         elif hint is not None and uses < _RESELECT_EVERY:
             codec, payload = stats_mod.choose_and_encode(arr, dtype, st, hint)
-            memo[col] = (hint, uses + 1)
+            memo[memo_key] = (hint, uses + 1)
         else:
             codec, payload = stats_mod.choose_and_encode(arr, dtype, st, None)
-            memo[col] = (codec, 1)
+            memo[memo_key] = (codec, 1)
         rows["part_key"].append(part_key)
         rows["salt"].append(salt)
         rows["chunk_id"].append(cid)
@@ -197,7 +209,7 @@ def _make_encode_fn(
         bufs: dict[tuple[int, int], list[pa.Table]] = {}
         buf_rows: dict[tuple[int, int], int] = {}
         seqs: dict[tuple[int, int], int] = {}
-        memo: dict = {}  # per-column codec cache for this task
+        memo = _WORKER_MEMO  # codec cache shared across tasks in this worker
 
         def flush(key: tuple[int, int]) -> pa.RecordBatch | None:
             parts = bufs.pop(key, None)

@@ -395,7 +395,7 @@ def choose_and_encode(
     cands = _candidates(arr, dtype, stats)
     if len(cands) == 1:
         return cands[0], encode_array_fn(arr, dtype, cands[0])
-    if len(arr) > 2 * _TRIAL_SAMPLE_ROWS:
+    if len(arr) > _TRIAL_SAMPLE_ROWS:
         sample = arr.slice(0, _TRIAL_SAMPLE_ROWS)
         best_codec, best_size = None, None
         for codec in cands:
