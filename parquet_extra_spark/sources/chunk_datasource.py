@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -260,6 +261,69 @@ class _FilePartition(InputPartition):
     path: str
 
 
+def _read_file(
+    path: str,
+    schema_cols: list[tuple[str, int, str]],
+    prune: "_Node | None",
+) -> Iterator[pa.RecordBatch]:
+    """Decode one chunk-table parquet file to data record batches —
+    shared by the batch and stream readers. Runs on an executor with no
+    SparkSession (pure pyarrow + codec kernels)."""
+    dtypes = {c: d for c, _, d in schema_cols}
+    names = [c for c, _, _ in schema_cols]
+    file_schema = pq.read_schema(path)
+    want = [c for c in _META_COLS + ["payload"] if c in file_schema.names]
+    table = pq.read_table(path, columns=want)
+    n_rows = table.num_rows
+    meta = {
+        # chunk tables persisted before a digest column existed read
+        # back without it — treat as "no digest" (sound, never prunes)
+        c: (
+            table.column(c).to_pylist()
+            if c in file_schema.names
+            else [None] * n_rows
+        )
+        for c in _META_COLS
+    }
+    payloads = table.column("payload")
+    by_chunk: dict = {}
+    for i, cid in enumerate(meta["chunk_id"]):
+        by_chunk.setdefault(cid, []).append(i)
+    arrow_schema = pa.schema(
+        [(c, typemap.spark_to_arrow(dtypes[c])) for c in names]
+    )
+    for cid, idxs in by_chunk.items():
+        rows = {meta["column"][i]: i for i in idxs}
+        if prune is not None:
+            stats_by_col = {
+                meta["column"][i]: {
+                    k: meta[k][i]
+                    for k in (
+                        "null_count", "n_values", "min_val", "max_val",
+                        "member_hashes", "member_bloom",
+                    )
+                }
+                for i in idxs
+            }
+            if not prune.possible(stats_by_col, dtypes):
+                continue  # chunk skipped from stats alone
+        missing = [c for c in names if c not in rows]
+        if missing:
+            raise ValueError(
+                f"chunk {cid} in {path} is missing column rows"
+                f" {missing} — chunktable files must keep whole chunks"
+                " together (encode/checkpoint output does; an arbitrary"
+                " repartition-then-write may not)"
+            )
+        arrays = []
+        for c in names:
+            i = rows[c]
+            arrays.append(
+                decode_array(payloads[i].as_py(), dtypes[c], meta["codec"][i])
+            )
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 class ChunkTableReader(DataSourceReader):
     def __init__(self, path: str, schema_cols: list[tuple[str, int, str]]):
         self._path = path
@@ -277,67 +341,73 @@ class ChunkTableReader(DataSourceReader):
         return [_FilePartition(f) for f in _committed_files(self._path)]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
-        names = [c for c, _, _ in self._schema_cols]
-        file_schema = pq.read_schema(partition.path)
-        want = [
-            c for c in _META_COLS + ["payload"] if c in file_schema.names
-        ]
-        table = pq.read_table(partition.path, columns=want)
-        n_rows = table.num_rows
-        meta = {
-            # chunk tables persisted before a digest column existed read
-            # back without it — treat as "no digest" (sound, never prunes)
-            c: (
-                table.column(c).to_pylist()
-                if c in file_schema.names
-                else [None] * n_rows
+        return _read_file(partition.path, self._schema_cols, self._prune)
+
+
+class ChunkTableStreamReader(DataSourceStreamReader):
+    """Structured-streaming read of a CHECKPOINT-layout chunk directory:
+    the append-only manifest's ``committed_at`` frontier is the stream
+    offset, so every committed ingest run is consumed exactly once —
+    Spark's streaming checkpoint persists the frontier, the engine's
+    manifest defines it (the composition the batch `after=` read does by
+    hand). Each micro-batch's partitions are the data files of runs
+    committed inside the (start, end] window; crashed-run orphans have no
+    manifest row and are never read. ``committed_at`` is one constant per
+    encode_to call (checkpoint.py), so windows select whole runs."""
+
+    def __init__(self, path: str, schema_cols: list[tuple[str, int, str]]):
+        root, manifest = _chunks_root(path)
+        if manifest is None:
+            raise ValueError(
+                "chunktable streaming needs the checkpoint layout"
+                " (<path>/manifest): the manifest frontier is the offset"
             )
-            for c in _META_COLS
+        self._root, self._manifest = root, manifest
+        self._schema_cols = schema_cols
+
+    def initialOffset(self) -> dict:
+        return {"frontier": 0.0}
+
+    def latestOffset(self) -> dict:
+        try:
+            t = pq.read_table(self._manifest, columns=["committed_at"])
+        except Exception:
+            return {"frontier": 0.0}
+        col = t.column("committed_at").to_pylist()
+        return {"frontier": max(col) if col else 0.0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["frontier"], end["frontier"]
+        t = pq.read_table(self._manifest, columns=["run_id", "committed_at"])
+        runs = {
+            r
+            for r, c in zip(
+                t.column("run_id").to_pylist(),
+                t.column("committed_at").to_pylist(),
+            )
+            if lo < c <= hi
         }
-        payloads = table.column("payload")
-        by_chunk: dict = {}
-        for i, cid in enumerate(meta["chunk_id"]):
-            by_chunk.setdefault(cid, []).append(i)
-        arrow_schema = pa.schema(
-            [(c, typemap.spark_to_arrow(self._dtypes[c])) for c in names]
-        )
-        for cid, idxs in by_chunk.items():
-            rows = {meta["column"][i]: i for i in idxs}
-            if self._prune is not None:
-                stats_by_col = {
-                    meta["column"][i]: {
-                        k: meta[k][i]
-                        for k in (
-                            "null_count", "n_values", "min_val", "max_val",
-                            "member_hashes", "member_bloom",
-                        )
-                    }
-                    for i in idxs
-                }
-                if not self._prune.possible(stats_by_col, self._dtypes):
-                    continue  # chunk skipped from stats alone
-            missing = [c for c in names if c not in rows]
-            if missing:
-                raise ValueError(
-                    f"chunk {cid} in {partition.path} is missing column rows"
-                    f" {missing} — chunktable files must keep whole chunks"
-                    " together (encode/checkpoint output does; an arbitrary"
-                    " repartition-then-write may not)"
-                )
-            arrays = []
-            for c in names:
-                i = rows[c]
-                arrays.append(
-                    decode_array(
-                        payloads[i].as_py(), self._dtypes[c], meta["codec"][i]
-                    )
-                )
-            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+        files = []
+        for run in sorted(runs):
+            run_dir = os.path.join(self._root, f"run_id={run}")
+            if os.path.isdir(run_dir):
+                for f in sorted(os.listdir(run_dir)):
+                    if f.endswith(".parquet"):
+                        files.append(os.path.join(run_dir, f))
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
+        return _read_file(partition.path, self._schema_cols, None)
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifest is immutable; Spark's checkpoint owns the frontier
 
 
 class ChunkTableDataSource(DataSource):
     """spark.dataSource.register(ChunkTableDataSource); then
-    spark.read.format("chunktable").load(path)."""
+    spark.read.format("chunktable").load(path) for batch or
+    spark.readStream.format("chunktable").load(path) for incremental
+    consumption of a checkpoint directory."""
 
     @classmethod
     def name(cls) -> str:
@@ -355,3 +425,14 @@ class ChunkTableDataSource(DataSource):
     def reader(self, schema: StructType) -> ChunkTableReader:
         path = self.options["path"]
         return ChunkTableReader(path, _discover_schema(path))
+
+    def streamReader(self, schema: StructType) -> ChunkTableStreamReader:
+        path = self.options["path"]
+        # the resolved schema (user-supplied or from self.schema()) drives
+        # decode: a stream may start before the first commit, when file-
+        # based discovery has nothing to read yet
+        cols = [
+            (f.name, i, f.dataType.simpleString())
+            for i, f in enumerate(schema.fields)
+        ]
+        return ChunkTableStreamReader(path, cols)
