@@ -568,6 +568,13 @@ def q_encoded_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.group_sum_encoded(chunks, "lang", "n_chars")
 
 
+def q_encoded_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-over-compressed: grouped count/sum/min/max in ONE
+    encoded-side pass (engine/encoded_agg.group_stats_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_stats_encoded(chunks, "lang", "n_chars")
+
+
 def q_roundtrip_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE FROM on the chunk table (engine/maintain.delete_where):
     certain-match chunks drop on metadata, boundary chunks rewrite,
@@ -675,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_after_delete": q_roundtrip_after_delete,
         "merge_upsert": q_merge_upsert,
         "datasource_filter": q_datasource_filter,
+        "encoded_group_stats": q_encoded_group_stats,
     }
 
 
@@ -1000,6 +1008,11 @@ def oracle_sql() -> dict[str, str]:
         "encoded_group_sum": (
             "SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS s"
             " FROM documents GROUP BY lang"
+        ),
+        "encoded_group_stats": (
+            "SELECT lang AS key, count(*) AS n_rows, count(n_chars) AS n_vals,"
+            " CAST(sum(n_chars) AS BIGINT) AS s, min(n_chars) AS mn,"
+            " max(n_chars) AS mx FROM documents GROUP BY lang"
         ),
         "column_profile": profile_union,
         "infer_repetition": rep_union,

@@ -23,7 +23,11 @@ from .engine.pushdown import (
     pushdown_stats,
 )
 from .engine.aggregates import metadata_profile
-from .engine.encoded_agg import group_sum_encoded, value_counts_encoded
+from .engine.encoded_agg import (
+    group_stats_encoded,
+    group_sum_encoded,
+    value_counts_encoded,
+)
 from .engine.compact import compact_chunks, compaction_stats
 from .engine.maintain import delete_stats, delete_where, merge_rows
 from .engine.zorder import zorder_encode, zorder_key
@@ -90,6 +94,7 @@ __all__ = [
     "pushdown_stats",
     "value_counts_encoded",
     "group_sum_encoded",
+    "group_stats_encoded",
     "P",
     "Pred",
     "filter_decode_pred",

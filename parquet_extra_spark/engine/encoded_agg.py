@@ -149,6 +149,104 @@ def value_counts_encoded(chunks: DataFrame, column: str) -> DataFrame:
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
 
 
+def group_stats_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Grouped count/sum/min/max in one encoded-side pass:
+    ``SELECT key, count(*), count(val), sum(val), min(val), max(val)
+    GROUP BY key`` with the key read as dictionary codes (module
+    docstring). Value column must be int-like (exact int64 lanes).
+    Output: (key, n_rows, n_vals, s, mn, mx) — s/mn/mx NULL for groups
+    whose values are all null, SQL semantics."""
+    key_dtype = _column_dtype(chunks, key_col)
+    val_dtype = _column_dtype(chunks, val_col)
+    if val_dtype not in typemap.INT_DTYPES:
+        # plain ints only: timestamps/dates would need unit-aware casts
+        # of the min/max back from the int64 lane
+        raise TypeError(
+            f"group_stats_encoded needs an integer value column, got {val_dtype}"
+        )
+    out_t = typemap.spark_to_arrow(key_dtype)
+    spark = chunks.sparkSession
+    work = (
+        chunks.filter(F.col("column").isin([key_col, val_col]))
+        .select("chunk_id", "column", "codec", "payload", "n_values")
+        .repartition(spark.sparkContext.defaultParallelism, "chunk_id")
+        .sortWithinPartitions("chunk_id", "column")
+    )
+    I64 = np.iinfo(np.int64)
+
+    def emit(group: dict) -> pa.RecordBatch:
+        missing = [c for c in (key_col, val_col) if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_stats_encoded needs both columns in the chunk table"
+            )
+        k_codec, k_payload, k_n = group[key_col]
+        v_codec, v_payload, _ = group[val_col]
+        codes, dict_arr, _ = _codes_and_dict(k_payload, key_dtype, k_codec, k_n)
+        varr = decode_array(v_payload, val_dtype, v_codec)
+        vals, vmask = typemap.to_int64_values(varr, val_dtype)
+        m = len(dict_arr) + 1  # + null-key group
+        sums = np.zeros(m, dtype=np.int64)
+        np.add.at(sums, codes, np.where(vmask, 0, vals))
+        nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
+        n_rows = np.bincount(codes, minlength=m).astype(np.int64)
+        mins = np.full(m, I64.max, dtype=np.int64)
+        maxs = np.full(m, I64.min, dtype=np.int64)
+        nn_codes = codes[~vmask]
+        np.minimum.at(mins, nn_codes, vals[~vmask])
+        np.maximum.at(maxs, nn_codes, vals[~vmask])
+        keys = pa.concat_arrays([dict_arr.cast(out_t), pa.nulls(1, type=out_t)])
+        keep = n_rows > 0
+        idx = pa.array(np.flatnonzero(keep), type=pa.int64())
+        has = nn[keep] > 0
+        return pa.RecordBatch.from_arrays(
+            [
+                keys.take(idx),
+                pa.array(n_rows[keep], type=pa.int64()),
+                pa.array(nn[keep], type=pa.int64()),
+                pa.array(sums[keep], type=pa.int64()),
+                pa.array(mins[keep], type=pa.int64(), mask=~has),
+                pa.array(maxs[keep], type=pa.int64(), mask=~has),
+            ],
+            ["key", "n_rows", "nn", "s", "mn", "mx"],
+        )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict = {}
+        cur = None
+        for batch in batches:
+            for i in range(batch.num_rows):
+                cid = batch.column("chunk_id")[i].as_py()
+                if cid != cur and pending:
+                    yield emit(pending)
+                    pending = {}
+                cur = cid
+                pending[batch.column("column")[i].as_py()] = (
+                    batch.column("codec")[i].as_py(),
+                    batch.column("payload")[i].as_py(),
+                    batch.column("n_values")[i].as_py(),
+                )
+        if pending:
+            yield emit(pending)
+
+    partials = work.mapInArrow(
+        fn,
+        schema=(
+            f"key {key_dtype}, n_rows bigint, nn bigint, s bigint,"
+            " mn bigint, mx bigint"
+        ),
+    )
+    val_spark = val_dtype
+    return partials.groupBy("key").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("nn").alias("n_vals"),
+        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("s"),
+        F.min("mn").cast(val_spark).alias("mn"),
+        F.max("mx").cast(val_spark).alias("mx"),
+    )
+
+
 def group_sum_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFrame:
     """``SELECT key, sum(val) GROUP BY key`` with the key side read from
     codec structures: per chunk, the key's dictionary codes weight one

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 import parquet_extra_spark as pes
 from parquet_extra_spark.engine.encoded_agg import (
+    group_stats_encoded,
     group_sum_encoded,
     value_counts_encoded,
 )
@@ -79,6 +80,43 @@ def test_group_sum_null_semantics(spark):
     chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
     got = _as_map(group_sum_encoded(chunks, "k", "v").collect(), "key")
     assert got == {"a": 1, "b": None, None: 5}
+
+
+def test_group_stats_matches_groupby(docs, doc_chunks):
+    got = {
+        r["key"]: (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"])
+        for r in group_stats_encoded(doc_chunks, "lang", "n_chars").collect()
+    }
+    want = {
+        r["key"]: (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"])
+        for r in docs.groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_vals"),
+            F.sum("n_chars").alias("s"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_stats_null_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", None), ("a", 1), ("b", None), (None, 5)],
+        "k string, v bigint",
+    )
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = {
+        r["key"]: (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"])
+        for r in group_stats_encoded(chunks, "k", "v").collect()
+    }
+    assert got == {
+        "a": (3, 2, 4, 1, 3),
+        "b": (1, 0, None, None, None),
+        None: (1, 1, 5, 5, 5),
+    }
 
 
 def test_group_sum_rejects_non_int(doc_chunks):
