@@ -78,8 +78,23 @@ def main() -> None:
         num_partitions=args.cpus * 8,
     )
 
-    # warm-up (python workers, JIT, page cache)
-    pes.encode(df.limit(max(2048, n_rows // 20)), **kw).count()
+    # warm-up (python workers, JIT, page cache). ADAPTIVE and FULL-SIZE:
+    # a small warm-up does not compile the full path (different batch
+    # shapes), and convergence takes several full runs (measured decay
+    # 29.7 -> 12.4 -> 5.7 -> 4.4 -> 2.7s on the 1M corpus at local[32]).
+    # The bias is not level-neutral: a long local[2] round finishes JIT
+    # inside its first timed round while a short local[8] round is still
+    # decaying in round 3 — understating exactly the high-parallelism
+    # side the efficiency ratio divides by. Warm until the improvement
+    # over the previous full run falls under 20% (max 5 runs).
+    prev = None
+    for _ in range(5):
+        t0 = time.time()
+        pes.encode(df, **kw).count()
+        dt = time.time() - t0
+        if prev is not None and dt > prev * 0.8:
+            break
+        prev = dt
 
     best = None
     encoded = None

@@ -25,7 +25,10 @@ no shuffle at all — the scan parallelism is the file count.
 
 Everything here runs without a SparkSession (driver planning uses
 pyarrow.dataset; executors decode with the pure-Python codec kernels),
-which is exactly what the Python Data Source API requires.
+which is exactly what the Python Data Source API requires. Paths must
+be visible to pyarrow on both driver and executors (local disk, NFS,
+fuse mounts); object-store URIs would need a pyarrow filesystem — use
+the engine API (read_chunks/decode) for those.
 """
 
 from __future__ import annotations

@@ -1,0 +1,59 @@
+"""CLI (`python -m parquet_extra_spark`): encode -> verify -> decode ->
+metrics/vacuum over a tmp dir, calling main() in-process (getOrCreate
+reuses the test session)."""
+
+import json
+import os
+
+import pytest
+
+from parquet_extra_spark.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    src = os.path.join(sf_dir, "documents.parquet")
+    return {"src": src, "enc": str(base / "enc"), "out": str(base / "out")}
+
+
+def _run(capsys, argv):
+    rc = main(argv + ["--master", "local[4]", "--shuffle-partitions", "8"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(line)
+
+
+def test_cli_encode_verify_decode(capsys, dirs):
+    rc, enc = _run(
+        capsys,
+        [
+            "encode", "--input", dirs["src"], "--out", dirs["enc"],
+            "--partition-cols", "lang", "--sort-cols", "doc_id",
+            "--chunk-rows", "256", "--n-buckets", "4",
+        ],
+    )
+    assert rc == 0 and enc["units_total"] > 0 and enc["n_salts"] >= 1
+
+    rc, ver = _run(capsys, ["verify", "--input", dirs["src"], "--enc", dirs["enc"]])
+    assert rc == 0 and ver["roundtrip_ok"] is True
+
+    rc, dec = _run(
+        capsys,
+        ["decode", "--enc", dirs["enc"], "--out", dirs["out"],
+         "--columns", "doc_id,lang"],
+    )
+    assert rc == 0 and dec["rows"] > 0
+
+    rc, met = _run(capsys, ["metrics", "--enc", dirs["enc"]])
+    assert rc == 0 and len(met["rows"]) > 0
+    assert {"part_key", "codec", "encoded_bytes"} <= set(met["rows"][0])
+
+    rc, vac = _run(capsys, ["vacuum", "--enc", dirs["enc"], "--dry-run"])
+    assert rc == 0 and vac["orphan_runs"] == []
+
+
+def test_cli_profile(capsys, dirs):
+    rc, pro = _run(
+        capsys, ["profile", "--input", dirs["src"], "--columns", "lang,source"]
+    )
+    assert rc == 0 and {r["column"] for r in pro["rows"]} == {"lang", "source"}
