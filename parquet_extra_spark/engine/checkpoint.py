@@ -46,6 +46,33 @@ def _manifest_path(out_dir: str) -> str:
     return f"{out_dir}/manifest"
 
 
+def _write_schema_sidecar(spark, out_dir: str, run_id: str, dataset_id: str,
+                          cols, required: set[str]) -> None:
+    """Persist this run's schema as ``manifest/_schema-<run_id>.json`` —
+    the commit-time footer. The chunktable data source plans its schema
+    from these sidecars alone (one tiny JSON per run, merged at read),
+    matching the reference's single-footer schema read
+    (ExampleParquetReader.java:65-71) instead of sweeping every data
+    file. Underscore prefix keeps parquet readers of the manifest
+    directory away from it. Written via the Hadoop FS API so any
+    Spark-writable path works (HDFS/S3A/local)."""
+    from ..sources.chunk_datasource import SCHEMA_SIDECAR_PREFIX, schema_sidecar_json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_path(out_dir)}/{SCHEMA_SIDECAR_PREFIX}{run_id}.json"
+    )
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    try:
+        out.write(
+            schema_sidecar_json(cols, run_id, dataset_id, required).encode("utf-8")
+        )
+    finally:
+        out.close()
+
+
 def _chunks_path(out_dir: str) -> str:
     return f"{out_dir}/chunks"
 
@@ -106,11 +133,23 @@ def encode_to(
     src = df.withColumn(
         "__pe_unit_pk", F.concat(F.lit("b"), bucket_expr.cast("string"))
     ).withColumn("__pe_unit_salt", salt_expr)
+    done_units = manifest.withColumnRenamed(
+        "part_key", "__pe_unit_pk"
+    ).withColumnRenamed("salt", "__pe_unit_salt")
     pending_src = src.join(
-        F.broadcast(manifest.withColumnRenamed("part_key", "__pe_unit_pk").withColumnRenamed("salt", "__pe_unit_salt")),
-        ["__pe_unit_pk", "__pe_unit_salt"],
-        "left_anti",
+        F.broadcast(done_units), ["__pe_unit_pk", "__pe_unit_salt"], "left_anti"
     ).drop("__pe_unit_pk", "__pe_unit_salt")
+
+    # make resume-skipped work OBSERVABLE: an accidental append-as-resume
+    # (same dataset_id, different data) silently drops rows hashing into
+    # committed units — count them so the caller can detect it. The check
+    # costs one extra source pass ONLY when this dataset already has
+    # manifest rows (fresh encodes skip it entirely).
+    rows_skipped = 0
+    if not manifest.isEmpty():
+        rows_skipped = src.join(
+            F.broadcast(done_units), ["__pe_unit_pk", "__pe_unit_salt"], "left_semi"
+        ).count()
 
     chunks = encode(pending_src, **encode_kwargs)
 
@@ -144,6 +183,19 @@ def encode_to(
     )
     unit_rows.write.mode("append").parquet(_manifest_path(out_dir))
 
+    # commit-time footer: the data source plans schema from this sidecar
+    # without opening any data file
+    from .schema import from_struct
+
+    expected = encode_kwargs.get("expected_schema")
+    required = (
+        {f.name for f in expected.fields if not f.nullable} if expected is not None
+        else set()
+    )
+    _write_schema_sidecar(
+        spark, out_dir, run_id, dataset_id, from_struct(df.schema), required
+    )
+
     m = load_manifest(spark, out_dir)
     done = m.agg(
         F.count("*").alias("units"),
@@ -155,6 +207,11 @@ def encode_to(
         "units_total": done["units"],
         "raw_bytes": done["raw_bytes"],
         "encoded_bytes": done["encoded_bytes"],
+        # >0 on a resume (the replayed rows of completed units) — but also
+        # >0 on an accidental append-as-resume (same dataset_id, NEW data
+        # hashing into committed units): callers appending new batches
+        # must use a fresh dataset_id and treat a nonzero here as a bug
+        "rows_skipped_resume": rows_skipped,
     }
 
 
@@ -182,6 +239,15 @@ def read_chunks(
 
     Both filters are metadata-only: they cut the manifest before the
     semi-join, so unread units' chunk files are never opened.
+
+    ``committed_at`` is the writer's wall clock stamped between the chunk
+    write and the manifest append, so as_of/after snapshots are exact for
+    a SINGLE sequential writer per checkpoint dir. With concurrent
+    writers or cross-driver clock skew, a run can become visible carrying
+    a timestamp at-or-below an already-consumed frontier and an
+    ``after=`` poller would skip it — poll with the chunktable STREAM
+    source instead (its offsets are the order-independent set of
+    committed run_ids, immune to this).
     """
     chunks = spark.read.parquet(_chunks_path(out_dir))
     manifest = load_manifest(spark, out_dir)

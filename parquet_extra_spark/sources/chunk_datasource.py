@@ -1,12 +1,16 @@
 """The chunk table as a native Spark data source (Python Data Source API).
 
 Registers format ``chunktable`` so the encoded table plugs into plain
-``spark.read`` / Spark SQL — the most idiomatic integration Spark offers
-a Python engine (public API: pyspark.sql.datasource, Spark 4):
+``spark.read`` / ``spark.write`` / Spark SQL — the most idiomatic
+integration Spark offers a Python engine (public API:
+pyspark.sql.datasource, Spark 4):
 
     spark.dataSource.register(ChunkTableDataSource)
     df = spark.read.format("chunktable").load("/data/enc")
     df.filter("lang = 'en' AND n_chars > 100")   # prunes chunks via stats
+    df2 = spark.read.format("chunktable").option("columns", "doc_id,lang")\\
+        .load("/data/enc")                       # decodes ONLY two columns
+    src.write.format("chunktable").mode("append").save("/data/enc")
 
 ``pushFilters`` receives Catalyst's translated filters, maps the
 supported shapes (=, <, <=, >, >=, IN, IS [NOT] NULL, NOT =) onto the
@@ -16,6 +20,32 @@ source only ever uses them to SKIP chunks (sound over-approximation, the
 same dual-predicate discipline as engine/pushdown.py; ≙ the reference's
 coarse-filter + exact-recheck contract, Predicate.scala:47-183).
 
+**Planning is metadata-only on the checkpoint layout.** Schema comes
+from the ``manifest/_schema-<run_id>.json`` sidecars the commit protocol
+writes (engine/checkpoint.encode_to and this module's writer): one tiny
+JSON per ingest run, merged at plan time — the analogue of the
+reference's single-footer schema read (ExampleParquetReader.java:65-71).
+The file list derives from the manifest's committed run_ids (one
+directory listing per run), never from a full-dataset file walk. Neither
+schema discovery nor partition planning opens a data file. Pre-sidecar
+checkpoints fall back to reading ONE data file per run (schema is
+uniform within a run — evolution happens between encode_to calls); flat
+directories fall back to a full sweep (the legacy, non-scale path).
+
+**Column projection** (``.option("columns", "a,b")``): only the
+requested columns' payloads are decoded — the chunk rows of other
+columns contribute stats for filter pruning and nothing else — the
+O19/O20 read-side projection contract on the SQL surface
+(ExampleReadSupport.java:76-90, unknown names fail fast per :88).
+
+**Read-time schema evolution**: a column absent from an entire data
+file (written before the column existed) materializes as all-null for
+that file's chunks, matching the engine decoder's widened-schema read
+(ParquetExampleTest.scala:300-318 r6/r7); a column present elsewhere in
+the same file but missing from one chunk is a split-chunk layout error
+and fails fast (a repartition-then-write that separated a chunk's rows
+would otherwise yield silently duplicated half-null rows).
+
 Layouts: a checkpoint directory (``<path>/manifest`` present — only
 committed chunks are visible, crashed-run orphans skipped, same rule as
 engine/checkpoint.read_chunks) or a flat directory of chunk-table
@@ -24,16 +54,20 @@ whole chunks contiguously into their own file, so per-file decode needs
 no shuffle at all — the scan parallelism is the file count.
 
 Everything here runs without a SparkSession (driver planning uses
-pyarrow.dataset; executors decode with the pure-Python codec kernels),
-which is exactly what the Python Data Source API requires. Paths must
-be visible to pyarrow on both driver and executors (local disk, NFS,
-fuse mounts); object-store URIs would need a pyarrow filesystem — use
-the engine API (read_chunks/decode) for those.
+pyarrow + os listings; executors decode with the pure-Python codec
+kernels), which is exactly what the Python Data Source API requires.
+Paths must be visible to Python on both driver and executors (local
+disk, NFS, fuse mounts); object-store URIs would need a pyarrow
+filesystem — use the engine API (read_chunks/decode/encode_to) for
+those.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import uuid
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -43,6 +77,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -56,6 +91,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -67,6 +103,8 @@ _META_COLS = [
     "null_count", "min_val", "max_val", "member_hashes", "member_bloom",
 ]
 
+SCHEMA_SIDECAR_PREFIX = "_schema-"
+
 
 def _chunks_root(path: str) -> tuple[str, str | None]:
     """-> (chunk data dir, manifest dir or None) for either layout."""
@@ -77,43 +115,152 @@ def _chunks_root(path: str) -> tuple[str, str | None]:
     return path, None
 
 
-def _committed_files(path: str) -> list[str]:
-    """Data files to scan, manifest-filtered for the checkpoint layout."""
-    root, manifest = _chunks_root(path)
-    dataset = pa_ds.dataset(root, format="parquet", partitioning="hive")
-    files = [f for f in dataset.files if f.endswith(".parquet")]
-    if manifest is None:
-        return sorted(files)
-    committed = set(
-        pq.read_table(manifest, columns=["run_id"]).column("run_id").to_pylist()
+def schema_sidecar_json(
+    cols: list[tuple[str, int, str]],
+    run_id: str,
+    dataset_id: str = "",
+    required: set[str] | None = None,
+) -> str:
+    """The per-run schema sidecar the commit protocol persists into the
+    manifest directory (underscore-prefixed: parquet readers of the
+    manifest ignore it). One per encode_to/writer commit; readers merge
+    all sidecars at plan time — concurrent writers never read-modify-
+    write a shared schema file."""
+    req = required or set()
+    return json.dumps(
+        {
+            "version": 1,
+            "run_id": run_id,
+            "dataset_id": dataset_id,
+            "columns": [
+                {
+                    "column": c,
+                    "col_idx": i,
+                    "dtype": d,
+                    "nullable": c not in req,
+                }
+                for c, i, d in sorted(cols, key=lambda t: t[1])
+            ],
+        }
     )
+
+
+def _flat_listing(path: str) -> list[str]:
+    try:
+        return os.listdir(path)
+    except OSError:
+        return []
+
+
+def _committed_runs(manifest: str) -> list[str]:
+    try:
+        t = pq.read_table(manifest, columns=["run_id"])
+    except Exception:
+        return []
+    return sorted(set(t.column("run_id").to_pylist()))
+
+
+def _run_files(root: str, runs: list[str]) -> list[str]:
+    """Data files of the given committed runs — one directory listing per
+    run, no full-dataset walk (the manifest IS the file index)."""
+    files = []
+    for run in runs:
+        run_dir = os.path.join(root, f"run_id={run}")
+        if os.path.isdir(run_dir):
+            for f in sorted(os.listdir(run_dir)):
+                if f.endswith(".parquet"):
+                    files.append(os.path.join(run_dir, f))
+    return files
+
+
+def _committed_files(path: str) -> list[str]:
+    """Data files to scan. Checkpoint layout: derived from the manifest's
+    committed run_ids (orphans from crashed runs are never listed). Flat
+    layout: a full directory listing (legacy path)."""
+    root, manifest = _chunks_root(path)
+    if manifest is not None:
+        return _run_files(root, _committed_runs(manifest))
+    dataset = pa_ds.dataset(root, format="parquet", partitioning="hive")
+    return sorted(f for f in dataset.files if f.endswith(".parquet"))
+
+
+def _merge_schema_entries(
+    sidecars: list[dict],
+) -> tuple[list[tuple[str, int, str]], dict[str, bool]]:
+    """Union the per-run sidecar schemas. Same column name must keep the
+    same (col_idx, dtype) across runs (the reference rejects type changes,
+    ParquetExampleTest.scala:320-325); nullable is ANDed — a column any
+    run declared required stays required."""
+    seen: dict[str, tuple[int, str]] = {}
+    nullable: dict[str, bool] = {}
+    for sc in sidecars:
+        for e in sc["columns"]:
+            c, tup = e["column"], (int(e["col_idx"]), e["dtype"])
+            prev = seen.setdefault(c, tup)
+            if prev != tup:
+                raise ValueError(
+                    f"inconsistent schema for column {c!r} across runs:"
+                    f" {prev} vs {tup}"
+                )
+            nullable[c] = nullable.get(c, True) and bool(e.get("nullable", True))
+    cols = sorted(((c, i, d) for c, (i, d) in seen.items()), key=lambda t: (t[1], t[0]))
+    return cols, nullable
+
+
+def _load_sidecars(manifest: str) -> list[dict]:
     out = []
-    for f in files:
-        rel = os.path.relpath(f, root)
-        top = rel.split(os.sep)[0]
-        if top.startswith("run_id=") and top.split("=", 1)[1] not in committed:
-            continue  # orphan from a crashed run — invisible
-        out.append(f)
-    return sorted(out)
+    try:
+        names = os.listdir(manifest)
+    except OSError:
+        return out
+    for name in sorted(names):
+        if name.startswith(SCHEMA_SIDECAR_PREFIX) and name.endswith(".json"):
+            with open(os.path.join(manifest, name), "r", encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out
 
 
-def _discover_schema(path: str) -> list[tuple[str, int, str]]:
-    """[(column, col_idx, dtype)] — the footer read, in pure pyarrow."""
+def _file_schema_entries(f: str) -> dict:
+    t = pq.read_table(f, columns=["column", "col_idx", "dtype"])
+    rows = {}
+    for c, i, d in zip(
+        t.column("column").to_pylist(),
+        t.column("col_idx").to_pylist(),
+        t.column("dtype").to_pylist(),
+    ):
+        rows[c] = {"column": c, "col_idx": i, "dtype": d, "nullable": True}
+    return {"version": 0, "columns": list(rows.values())}
+
+
+def _discover_schema(
+    path: str,
+) -> tuple[list[tuple[str, int, str]], dict[str, bool]]:
+    """-> ([(column, col_idx, dtype)], nullable-by-column).
+
+    Checkpoint layout: merged from the manifest's schema sidecars — zero
+    data files opened (the one-footer read, ExampleParquetReader.java:
+    65-71). Pre-sidecar checkpoints read ONE data file per committed run;
+    flat directories sweep all files (legacy)."""
+    root, manifest = _chunks_root(path)
+    if manifest is not None:
+        sidecars = _load_sidecars(manifest)
+        if sidecars:
+            return _merge_schema_entries(sidecars)
+        # legacy checkpoint (no sidecars): schema is uniform within a run
+        # (evolution happens between encode_to calls) — one file per run
+        runs = _committed_runs(manifest)
+        sidecars = []
+        for run in runs:
+            files = _run_files(root, [run])
+            if files:
+                sidecars.append(_file_schema_entries(files[0]))
+        if not sidecars:
+            raise ValueError(f"no committed chunk data under {path!r}")
+        return _merge_schema_entries(sidecars)
     files = _committed_files(path)
     if not files:
-        raise ValueError(f"no committed chunk files under {path!r}")
-    seen: dict[str, tuple[int, str]] = {}
-    for f in files:
-        t = pq.read_table(f, columns=["column", "col_idx", "dtype"])
-        for c, i, d in zip(
-            t.column("column").to_pylist(),
-            t.column("col_idx").to_pylist(),
-            t.column("dtype").to_pylist(),
-        ):
-            prev = seen.setdefault(c, (i, d))
-            if prev != (i, d):
-                raise ValueError(f"inconsistent schema for column {c!r} across chunks")
-    return sorted(((c, i, d) for c, (i, d) in seen.items()), key=lambda t: t[1])
+        raise ValueError(f"no chunk files under {path!r}")
+    return _merge_schema_entries([_file_schema_entries(f) for f in files])
 
 
 # ---------------------------------------------------------- stats pruning
@@ -268,32 +415,71 @@ def _read_file(
     path: str,
     schema_cols: list[tuple[str, int, str]],
     prune: "_Node | None",
+    requested: list[str] | None = None,
+    nullable: dict[str, bool] | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Decode one chunk-table parquet file to data record batches —
     shared by the batch and stream readers. Runs on an executor with no
-    SparkSession (pure pyarrow + codec kernels)."""
+    SparkSession (pure pyarrow + codec kernels).
+
+    ``requested``: output columns (None = all of ``schema_cols``). Only
+    these payloads are DECODED; the payload read itself is row-filtered
+    to the requested column names, so parquet's row-group statistics can
+    skip non-requested payload pages where the layout allows. Pruning
+    stats for filter-only columns come from a payload-free metadata read.
+
+    A requested column absent from this entire file (written before the
+    column existed) materializes as all-null — unless some sidecar
+    declared it non-nullable, which errors like the reference's
+    new-required-field read (ParquetExampleTest.scala r5)."""
     dtypes = {c: d for c, _, d in schema_cols}
     names = [c for c, _, _ in schema_cols]
+    out_names = [c for c in names if requested is None or c in requested]
     file_schema = pq.read_schema(path)
-    want = [c for c in _META_COLS + ["payload"] if c in file_schema.names]
-    table = pq.read_table(path, columns=want)
-    n_rows = table.num_rows
+    meta_want = [c for c in _META_COLS if c in file_schema.names]
+    meta_table = pq.read_table(path, columns=meta_want)
+    n_rows = meta_table.num_rows
     meta = {
         # chunk tables persisted before a digest column existed read
         # back without it — treat as "no digest" (sound, never prunes)
         c: (
-            table.column(c).to_pylist()
+            meta_table.column(c).to_pylist()
             if c in file_schema.names
             else [None] * n_rows
         )
         for c in _META_COLS
     }
-    payloads = table.column("payload")
+    file_cols = set(meta["column"])
+    decode_cols = [c for c in out_names if c in file_cols]
+    absent = [c for c in out_names if c not in file_cols]
+    if nullable is not None:
+        hard = [c for c in absent if not nullable.get(c, True)]
+        if hard:
+            raise ValueError(
+                f"required column(s) {hard} absent from {path} — data"
+                " written without a required field cannot satisfy the"
+                " declared schema (ParquetExampleTest.scala r5 contract)"
+            )
+    # payload read, row-filtered to the columns being decoded: filter-only
+    # and non-requested columns never materialize payload bytes in memory
+    payloads: dict[tuple[int, str], object] = {}
+    if decode_cols:
+        ptab = pq.read_table(
+            path,
+            columns=["chunk_id", "column", "payload"],
+            filters=[("column", "in", decode_cols)],
+        )
+        for cid, col, pay in zip(
+            ptab.column("chunk_id").to_pylist(),
+            ptab.column("column").to_pylist(),
+            ptab.column("payload"),
+        ):
+            payloads[(cid, col)] = pay
     by_chunk: dict = {}
     for i, cid in enumerate(meta["chunk_id"]):
         by_chunk.setdefault(cid, []).append(i)
     arrow_schema = pa.schema(
-        [(c, typemap.spark_to_arrow(dtypes[c])) for c in names]
+        [(c, typemap.spark_to_arrow(dtypes[c])) for c in out_names]
     )
     for cid, idxs in by_chunk.items():
         rows = {meta["column"][i]: i for i in idxs}
@@ -310,28 +496,44 @@ def _read_file(
             }
             if not prune.possible(stats_by_col, dtypes):
                 continue  # chunk skipped from stats alone
-        missing = [c for c in names if c not in rows]
+        missing = [c for c in decode_cols if c not in rows]
         if missing:
+            # present elsewhere in this file but not for this chunk: a
+            # split-chunk layout, NOT schema evolution — fail fast
             raise ValueError(
                 f"chunk {cid} in {path} is missing column rows"
                 f" {missing} — chunktable files must keep whole chunks"
                 " together (encode/checkpoint output does; an arbitrary"
                 " repartition-then-write may not)"
             )
+        n_chunk = meta["n_values"][idxs[0]]
         arrays = []
-        for c in names:
-            i = rows[c]
-            arrays.append(
-                decode_array(payloads[i].as_py(), dtypes[c], meta["codec"][i])
-            )
+        for c in out_names:
+            if c in decode_cols:
+                i = rows[c]
+                arrays.append(
+                    decode_array(
+                        payloads[(cid, c)].as_py(), dtypes[c], meta["codec"][i]
+                    )
+                )
+            else:
+                # read-time evolution: whole file predates this column
+                arrays.append(pa.nulls(n_chunk, type=typemap.spark_to_arrow(dtypes[c])))
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
 class ChunkTableReader(DataSourceReader):
-    def __init__(self, path: str, schema_cols: list[tuple[str, int, str]]):
+    def __init__(
+        self,
+        path: str,
+        schema_cols: list[tuple[str, int, str]],
+        requested: list[str] | None = None,
+        nullable: dict[str, bool] | None = None,
+    ):
         self._path = path
         self._schema_cols = schema_cols
-        self._dtypes = {c: d for c, _, d in schema_cols}
+        self._requested = requested
+        self._nullable = nullable
         self._prune: _Node | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -344,98 +546,321 @@ class ChunkTableReader(DataSourceReader):
         return [_FilePartition(f) for f in _committed_files(self._path)]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
-        return _read_file(partition.path, self._schema_cols, self._prune)
+        return _read_file(
+            partition.path,
+            self._schema_cols,
+            self._prune,
+            requested=self._requested,
+            nullable=self._nullable,
+        )
 
 
 class ChunkTableStreamReader(DataSourceStreamReader):
     """Structured-streaming read of a CHECKPOINT-layout chunk directory:
-    the append-only manifest's ``committed_at`` frontier is the stream
-    offset, so every committed ingest run is consumed exactly once —
-    Spark's streaming checkpoint persists the frontier, the engine's
-    manifest defines it (the composition the batch `after=` read does by
-    hand). Each micro-batch's partitions are the data files of runs
-    committed inside the (start, end] window; crashed-run orphans have no
-    manifest row and are never read. ``committed_at`` is one constant per
-    encode_to call (checkpoint.py), so windows select whole runs."""
+    the offset is the SET of committed run_ids consumed so far, so every
+    committed ingest run is consumed exactly once across micro-batches,
+    restarts, concurrent writers, and clock skew — Spark's streaming
+    checkpoint persists the set, the engine's manifest defines membership.
+    A run becoming visible "late" (its manifest row appended after later
+    runs were already consumed) is simply absent from the consumed set and
+    picked up by the next batch; nothing depends on ``committed_at``
+    ordering (wall-clock frontiers silently skip late-visible runs under
+    multi-writer or clock-skew conditions — the order-dependence this
+    design removes). Offsets grow with the run count (one id per
+    encode_to/writer commit); manifest-level compaction would bound that
+    in a long-lived production deployment.
+
+    Crashed-run orphans have no manifest row and are never read. A stream
+    may start on a directory whose first commit has not happened yet: the
+    reader idles at the empty offset until the manifest appears."""
 
     def __init__(self, path: str, schema_cols: list[tuple[str, int, str]]):
-        root, manifest = _chunks_root(path)
-        if manifest is None:
+        self._root = os.path.join(path, "chunks")
+        self._manifest = os.path.join(path, "manifest")
+        self._schema_cols = schema_cols
+        if not os.path.isdir(self._manifest) and any(
+            f.endswith(".parquet") for f in _flat_listing(path)
+        ):
+            # a FLAT chunk directory has no commit log to stream from; a
+            # fresh/empty checkpoint dir is fine (idles at the empty offset)
             raise ValueError(
                 "chunktable streaming needs the checkpoint layout"
-                " (<path>/manifest): the manifest frontier is the offset"
+                " (<path>/manifest): the manifest's committed runs are the"
+                " offsets"
             )
-        self._root, self._manifest = root, manifest
-        self._schema_cols = schema_cols
 
     def initialOffset(self) -> dict:
-        return {"frontier": 0.0}
+        return {"runs": []}
 
     def latestOffset(self) -> dict:
-        try:
-            t = pq.read_table(self._manifest, columns=["committed_at"])
-        except Exception:
-            return {"frontier": 0.0}
-        col = t.column("committed_at").to_pylist()
-        return {"frontier": max(col) if col else 0.0}
+        return {"runs": _committed_runs(self._manifest)}
 
-    def partitions(self, start: dict, end: dict):
-        lo, hi = start["frontier"], end["frontier"]
-        t = pq.read_table(self._manifest, columns=["run_id", "committed_at"])
-        runs = {
+    def _runs_of(self, offset: dict) -> set[str]:
+        if "runs" in offset:
+            return set(offset["runs"])
+        # pre-round-4 checkpoint: a wall-clock frontier offset — convert
+        # via committed_at once, then the run-set form takes over
+        frontier = offset.get("frontier", 0.0)
+        try:
+            t = pq.read_table(self._manifest, columns=["run_id", "committed_at"])
+        except Exception:
+            return set()
+        return {
             r
             for r, c in zip(
                 t.column("run_id").to_pylist(),
                 t.column("committed_at").to_pylist(),
             )
-            if lo < c <= hi
+            if c <= frontier
         }
-        files = []
-        for run in sorted(runs):
-            run_dir = os.path.join(self._root, f"run_id={run}")
-            if os.path.isdir(run_dir):
-                for f in sorted(os.listdir(run_dir)):
-                    if f.endswith(".parquet"):
-                        files.append(os.path.join(run_dir, f))
-        return [_FilePartition(f) for f in files]
+
+    def partitions(self, start: dict, end: dict):
+        new_runs = sorted(self._runs_of(end) - self._runs_of(start))
+        return [_FilePartition(f) for f in _run_files(self._root, new_runs)]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
         return _read_file(partition.path, self._schema_cols, None)
 
     def commit(self, end: dict) -> None:
-        pass  # the manifest is immutable; Spark's checkpoint owns the frontier
+        pass  # the manifest is immutable; Spark's checkpoint owns the offset
+
+
+# --------------------------------------------------------------- writer
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    part_key: str
+    n_chunks: int
+    n_values: int
+    raw_bytes: int
+    encoded_bytes: int
+
+
+class ChunkTableArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("chunktable").mode("append").save(dir)`` — the
+    engine's commit protocol (chunks first, manifest row = commit point)
+    on the SQL surface, the O27 distributed-sink analogue
+    (ExampleParquetOutputFormat.java:7-14).
+
+    Each write task encodes ITS partition's rows as one work unit
+    (part_key = "w<partitionId>", salt 0) with the same pure-Python chunk
+    kernel the engine uses (encoder._chunk_rows_batch — stats, codec
+    auto-selection, membership digests), writing one parquet file under
+    ``chunks/run_id=<id>/``. ``commit`` (driver side) then appends one
+    manifest parquet file plus the schema sidecar — readers see all-or-
+    nothing. Partitioning/clustering is the CALLER's: repartition before
+    writing to cluster (the writer cannot shuffle). Options:
+    ``chunk_rows``, ``sort_cols`` (in-chunk columnar sort, comma list),
+    ``dataset_id``. Local/NFS paths only (same constraint as the reader);
+    a task failure before commit leaves an orphan run dir that stays
+    invisible and is reclaimed by vacuum_checkpoint."""
+
+    def __init__(
+        self,
+        path: str,
+        run_id: str,
+        schema_cols: list[tuple[str, int, str]],
+        chunk_rows: int,
+        sort_cols: list[str] | None,
+        dataset_id: str,
+    ):
+        self._path = path
+        self._run_id = run_id
+        self._schema_cols = schema_cols
+        self._chunk_rows = chunk_rows
+        self._sort_cols = sort_cols
+        self._dataset_id = dataset_id
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _WriteMessage:
+        from pyspark import TaskContext
+
+        from ..engine.chunk import CHUNK_ARROW_SCHEMA, schema_fingerprint
+        from ..engine.encoder import _chunk_rows_batch
+
+        pid = TaskContext.get().partitionId()
+        part_key = f"w{pid}"
+        columns = [c for c, _, _ in self._schema_cols]
+        dtypes = {c: d for c, _, d in self._schema_cols}
+        schema_fp = schema_fingerprint(columns, self._dataset_id)
+        run_dir = os.path.join(self._path, "chunks", f"run_id={self._run_id}")
+        os.makedirs(run_dir, exist_ok=True)
+        out_path = os.path.join(run_dir, f"part-{pid:05d}.parquet")
+
+        memo: dict = {}
+        seq = 0
+        stats = {"n_chunks": 0, "n_values": 0, "raw": 0, "enc": 0}
+        writer: pq.ParquetWriter | None = None
+        pending: list[pa.Table] = []
+        pending_rows = 0
+
+        def flush(table: pa.Table):
+            nonlocal seq, writer
+            batch = _chunk_rows_batch(
+                part_key, 0, seq, table, columns, dtypes, None, memo,
+                sort_cols=self._sort_cols, uid_namespace=self._dataset_id,
+                schema_fp=schema_fp,
+            )
+            seq += 1
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    out_path, CHUNK_ARROW_SCHEMA, compression="zstd"
+                )
+            writer.write_batch(batch)
+            stats["n_chunks"] += 1
+            # col_idx 0 carries the chunk's row count once per chunk
+            stats["n_values"] += batch.column("n_values")[0].as_py()
+            stats["raw"] += sum(batch.column("raw_bytes").to_pylist())
+            stats["enc"] += sum(batch.column("encoded_bytes").to_pylist())
+
+        for rb in iterator:
+            t = pa.Table.from_batches([rb]).select(columns)
+            pending.append(t)
+            pending_rows += len(t)
+            while pending_rows >= self._chunk_rows:
+                merged = pa.concat_tables(pending)
+                flush(merged.slice(0, self._chunk_rows))
+                tail = merged.slice(self._chunk_rows)
+                pending, pending_rows = ([tail] if len(tail) else []), len(tail)
+        if pending_rows:
+            flush(pa.concat_tables(pending))
+        if writer is not None:
+            writer.close()
+        return _WriteMessage(
+            part_key, stats["n_chunks"], stats["n_values"],
+            stats["raw"], stats["enc"],
+        )
+
+    def commit(self, messages) -> None:
+        manifest_dir = os.path.join(self._path, "manifest")
+        os.makedirs(manifest_dir, exist_ok=True)
+        rows = [m for m in messages if m is not None and m.n_chunks > 0]
+        committed_at = time.time()
+        table = pa.table(
+            {
+                "part_key": pa.array([m.part_key for m in rows], pa.string()),
+                "salt": pa.array([0] * len(rows), pa.int32()),
+                "run_id": pa.array([self._run_id] * len(rows), pa.string()),
+                "n_chunks": pa.array([m.n_chunks for m in rows], pa.int64()),
+                "n_values": pa.array([m.n_values for m in rows], pa.int64()),
+                "raw_bytes": pa.array([m.raw_bytes for m in rows], pa.int64()),
+                "encoded_bytes": pa.array(
+                    [m.encoded_bytes for m in rows], pa.int64()
+                ),
+                "committed_at": pa.array([committed_at] * len(rows), pa.float64()),
+                "dataset_id": pa.array([self._dataset_id] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(
+            table, os.path.join(manifest_dir, f"part-w-{self._run_id}.parquet")
+        )
+        sidecar = os.path.join(
+            manifest_dir, f"{SCHEMA_SIDECAR_PREFIX}{self._run_id}.json"
+        )
+        with open(sidecar, "w", encoding="utf-8") as fh:
+            fh.write(
+                schema_sidecar_json(
+                    self._schema_cols, self._run_id, self._dataset_id
+                )
+            )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._path, "chunks", f"run_id={self._run_id}"),
+            ignore_errors=True,
+        )  # uncommitted data is invisible anyway; this just reclaims bytes
 
 
 class ChunkTableDataSource(DataSource):
     """spark.dataSource.register(ChunkTableDataSource); then
-    spark.read.format("chunktable").load(path) for batch or
+    spark.read.format("chunktable").load(path) for batch,
     spark.readStream.format("chunktable").load(path) for incremental
-    consumption of a checkpoint directory."""
+    consumption of a checkpoint directory, and
+    df.write.format("chunktable").mode("append").save(path) to ingest.
+    ``.option("columns", "a,b")`` projects the read (only those columns
+    decode)."""
 
     @classmethod
     def name(cls) -> str:
         return "chunktable"
 
-    def schema(self) -> "StructType | str":
+    def _resolve(self) -> tuple[str, list[tuple[str, int, str]], dict[str, bool]]:
         path = self.options.get("path")
         if not path:
             raise ValueError("chunktable needs a path: .load('/dir')")
-        cols = _discover_schema(path)
+        if not hasattr(self, "_schema_cache"):
+            self._schema_cache = _discover_schema(path)
+        cols, nullable = self._schema_cache
+        return path, cols, nullable
+
+    def _requested(self, cols: list[tuple[str, int, str]]) -> list[str] | None:
+        opt = self.options.get("columns")
+        if not opt:
+            return None
+        want = [c.strip() for c in opt.split(",") if c.strip()]
+        known = {c for c, _, _ in cols}
+        unknown = [c for c in want if c not in known]
+        if unknown:
+            # O20's unmatched-field fail-fast (ExampleReadSupport.java:88)
+            raise ValueError(f"columns option references unknown columns: {unknown}")
+        return want
+
+    def schema(self) -> "StructType | str":
+        _, cols, _ = self._resolve()
+        want = self._requested(cols)
+        if want is not None:
+            order = {c: i for c, i, _ in cols}
+            dt = {c: d for c, _, d in cols}
+            cols = sorted(((c, order[c], dt[c]) for c in want), key=lambda t: t[1])
         # DDL string, parsed JVM-side: this method runs in a worker Python
         # process with no SparkContext, so StructType parsing is unavailable
         return ", ".join(f"`{c}` {d}" for c, _, d in cols)
 
     def reader(self, schema: StructType) -> ChunkTableReader:
-        path = self.options["path"]
-        return ChunkTableReader(path, _discover_schema(path))
+        path, cols, nullable = self._resolve()
+        return ChunkTableReader(
+            path, cols, requested=self._requested(cols), nullable=nullable
+        )
 
     def streamReader(self, schema: StructType) -> ChunkTableStreamReader:
         path = self.options["path"]
         # the resolved schema (user-supplied or from self.schema()) drives
-        # decode: a stream may start before the first commit, when file-
-        # based discovery has nothing to read yet
+        # decode: a stream may start before the first commit, when neither
+        # sidecars nor data files exist yet — the reader idles at the
+        # empty offset until the manifest appears
         cols = [
             (f.name, i, f.dataType.simpleString())
             for i, f in enumerate(schema.fields)
         ]
         return ChunkTableStreamReader(path, cols)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ChunkTableArrowWriter:
+        from ..engine.schema import from_struct
+
+        if overwrite:
+            raise ValueError(
+                "chunktable is append-only (the manifest is the commit log);"
+                " use mode('append')"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("chunktable needs a path: .save('/dir')")
+        sort_opt = self.options.get("sort_cols")
+        sort_cols = (
+            [c.strip() for c in sort_opt.split(",") if c.strip()] if sort_opt else None
+        )
+        schema_cols = from_struct(schema)
+        known = {c for c, _, _ in schema_cols}
+        bad = [c for c in (sort_cols or []) if c not in known]
+        if bad:
+            raise ValueError(f"sort_cols references unknown columns: {bad}")
+        return ChunkTableArrowWriter(
+            path,
+            run_id=uuid.uuid4().hex[:12],
+            schema_cols=schema_cols,
+            chunk_rows=int(self.options.get("chunk_rows", 65536)),
+            sort_cols=sort_cols,
+            dataset_id=self.options.get("dataset_id", ""),
+        )

@@ -166,3 +166,126 @@ def test_translate_shapes():
     assert not node.possible(stats, dtypes)
     stats["source"] = dict(st_en, min_val="a", max_val="b")
     assert node.possible(stats, dtypes)
+
+
+def test_schema_plans_from_manifest_sidecar_only(registered, spark, docs, tmp_path):
+    """Checkpoint-layout planning is metadata-only: after every DATA file
+    is replaced with garbage, schema resolution still succeeds (it reads
+    the manifest's _schema-<run_id>.json sidecar, never a data file)."""
+    out = str(tmp_path / "enc")
+    pes.encode_to(docs, out, partition_cols=["lang"], chunk_rows=256,
+                  n_buckets=2, n_salts=1)
+    chunk_root = os.path.join(out, "chunks")
+    for dirpath, _, files in os.walk(chunk_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(dirpath, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    got = registered.read.format("chunktable").load(out)
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in docs.schema.fields
+    ]
+
+
+def test_columns_option_decodes_only_requested(registered, spark, docs, flat_dir, tmp_path):
+    """Column projection through the data source: non-requested payloads
+    are never decoded (poisoned-payload proof), and unknown names fail
+    fast (ExampleReadSupport.java:88)."""
+    out = str(tmp_path / "proj")
+    chunks = pes.encode(docs, partition_cols=["lang"], chunk_rows=128,
+                        n_buckets=2, n_salts=1)
+    poisoned = chunks.withColumn(
+        "payload",
+        F.when(F.col("column") == "text", F.lit(b"\xde\xad")).otherwise(
+            F.col("payload")
+        ),
+    )
+    poisoned.write.parquet(out)
+    got = (
+        registered.read.format("chunktable")
+        .option("columns", "doc_id,lang")
+        .load(out)
+    )
+    assert got.columns == ["doc_id", "lang"]
+    want = docs.select("doc_id", "lang")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # filters on non-requested columns still prune via stats (then Spark's
+    # re-apply never sees the column — it was projected away before)
+    got2 = (
+        registered.read.format("chunktable")
+        .option("columns", "doc_id")
+        .load(flat_dir)
+        .filter("doc_id < 10")
+    )
+    assert sorted(r["doc_id"] for r in got2.collect()) == sorted(
+        r["doc_id"] for r in docs.filter("doc_id < 10").select("doc_id").collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown columns"):
+        registered.read.format("chunktable").option("columns", "nope").load(out).schema
+
+
+def test_datasource_schema_evolution_across_runs(registered, spark, tmp_path):
+    """A nullable column added in run 2 reads as NULL from run-1 files —
+    the widened-schema read on the SQL surface (ParquetExampleTest.scala
+    r6/r7 analogue)."""
+    out = str(tmp_path / "evo")
+    v1 = spark.createDataFrame([(i, f"g{i % 2}") for i in range(40)], "k bigint, g string")
+    v2 = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(40, 60)],
+        "k bigint, g string, score double",
+    )
+    kw = dict(partition_cols=["g"], chunk_rows=32, n_buckets=2, n_salts=1)
+    pes.encode_to(v1, out, dataset_id="v1", **kw)
+    pes.encode_to(v2, out, dataset_id="v2", **kw)
+    got = registered.read.format("chunktable").load(out)
+    assert set(got.columns) == {"k", "g", "score"}
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    assert len(rows) == 60
+    assert all(rows[k] is None for k in range(40))
+    assert all(rows[k] == float(k) for k in range(40, 60))
+    # projection of ONLY the evolved column still yields one row per source
+    # row (anchor rows keep pre-evolution chunks contributing)
+    only_new = (
+        registered.read.format("chunktable").option("columns", "score").load(out)
+    )
+    assert only_new.count() == 60
+
+
+def test_datasource_writer_roundtrip(registered, spark, docs, tmp_path):
+    """df.write.format("chunktable") -> spark.read.format("chunktable")
+    round trip, appends included; the write commits through the same
+    manifest protocol, so the engine API reads it too."""
+    out = str(tmp_path / "sink")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    (
+        first.repartition(4, "lang")
+        .write.format("chunktable")
+        .mode("append")
+        .option("chunk_rows", "128")
+        .option("sort_cols", "doc_id")
+        .option("dataset_id", "w0")
+        .save(out)
+    )
+    got1 = registered.read.format("chunktable").load(out)
+    assert pes.roundtrip_ok(first, got1)
+    (
+        second.repartition(4, "lang")
+        .write.format("chunktable")
+        .mode("append")
+        .option("dataset_id", "w1")
+        .save(out)
+    )
+    got2 = registered.read.format("chunktable").load(out)
+    assert pes.roundtrip_ok(docs, got2)
+    # engine-API interop: the writer's manifest is a real commit log
+    eng = pes.read_chunks(spark, out)
+    dec = pes.decode(eng, schema_cols=pes.schema_from_struct(docs.schema))
+    assert pes.roundtrip_ok(docs, dec)
+    # append-only contract
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append"):
+        first.write.format("chunktable").mode("overwrite").save(out)

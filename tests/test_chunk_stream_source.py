@@ -79,3 +79,64 @@ def test_stream_requires_checkpoint_layout(registered, spark, tmp_path):
     assert exc is not None and (
         "checkpoint layout" in str(exc) or "manifest" in str(exc)
     )
+
+
+def test_stream_starts_before_first_commit(registered, spark, tmp_path):
+    """A stream on a FRESH checkpoint dir (no manifest yet) idles at the
+    empty offset instead of failing, then consumes the first commit."""
+    out = str(tmp_path / "fresh")
+    os.makedirs(out)
+    ckpt, sink = str(tmp_path / "c2"), str(tmp_path / "sink2")
+    q = (
+        registered.readStream.format("chunktable")
+        .schema("k bigint, g string, v string")
+        .load(out)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    pes.encode_to(
+        _mk(spark, 0, 20), out, partition_cols=["g"], chunk_rows=16,
+        n_buckets=2, n_salts=1,
+    )
+    assert _run_stream(spark, out, ckpt, sink) == list(range(20))
+
+
+def test_stream_offsets_are_order_independent(registered, spark, tmp_path):
+    """A run whose manifest row becomes visible with a committed_at BELOW
+    the already-consumed maximum (concurrent writer / clock skew) must
+    still be consumed exactly once: offsets are the SET of committed
+    run_ids, not a wall-clock frontier."""
+    import pyarrow.parquet as pq
+
+    spark_ = registered
+    out = str(tmp_path / "enc")
+    ckpt, sink = str(tmp_path / "c3"), str(tmp_path / "sink3")
+    kw = dict(partition_cols=["g"], chunk_rows=64, n_buckets=2, n_salts=1)
+    pes.encode_to(_mk(spark_, 0, 30), out, dataset_id="b0", **kw)
+    assert _run_stream(spark_, out, ckpt, sink) == list(range(30))
+
+    # commit a second run, then BACKDATE its committed_at to 0.0 — under a
+    # frontier offset this run would be skipped forever
+    before = set(os.listdir(os.path.join(out, "manifest")))
+    pes.encode_to(_mk(spark_, 30, 50), out, dataset_id="b1", **kw)
+    new_files = [
+        f
+        for f in set(os.listdir(os.path.join(out, "manifest"))) - before
+        if f.endswith(".parquet")
+    ]
+    for f in new_files:
+        p = os.path.join(out, "manifest", f)
+        t = pq.read_table(p)
+        idx = t.schema.get_field_index("committed_at")
+        import pyarrow as pa
+
+        t = t.set_column(
+            idx, "committed_at", pa.array([0.0] * t.num_rows, pa.float64())
+        )
+        pq.write_table(t, p)
+    assert _run_stream(spark_, out, ckpt, sink) == list(range(50))
