@@ -149,30 +149,181 @@ def value_counts_encoded(chunks: DataFrame, column: str) -> DataFrame:
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
 
 
-def group_stats_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFrame:
+def _pair_work(
+    chunks: DataFrame, key_col: str, val_col: str, colocated: bool
+) -> DataFrame:
+    """The (key, value) chunk rows, arranged so each chunk's pair is
+    contiguous inside one partition.
+
+    ``colocated=True`` — **no shuffle** (mirrors decode's contract,
+    engine/decoder.py): encode() output and narrow transformations of it
+    keep every chunk's rows in one partition, so an in-partition sort
+    suffices and the ONLY exchange in the whole aggregate carries
+    (value, partial) pairs. At 100 TB that is the difference between
+    shuffling the compressed table and shuffling kilobytes of partials.
+    ``colocated=False`` (default) repartitions on chunk_id first — always
+    safe for arbitrary chunk tables (unions, file reads of unknown
+    layout); ``decoder.check_colocated`` can verify file-backed tables
+    metadata-only before opting in."""
+    work = chunks.filter(F.col("column").isin([key_col, val_col])).select(
+        "chunk_id", "column", "codec", "payload", "n_values"
+    )
+    if not colocated:
+        spark = chunks.sparkSession
+        work = work.repartition(spark.sparkContext.defaultParallelism, "chunk_id")
+    return work.sortWithinPartitions("chunk_id", "column")
+
+
+def _pair_stream(batches: Iterator[pa.RecordBatch], emit) -> Iterator[pa.RecordBatch]:
+    """Group contiguous (chunk_id) rows and hand {column: (codec, payload,
+    n_values)} dicts to ``emit``."""
+    pending: dict = {}
+    cur = None
+    for batch in batches:
+        for i in range(batch.num_rows):
+            cid = batch.column("chunk_id")[i].as_py()
+            if cid != cur and pending:
+                out = emit(pending)
+                if out is not None:
+                    yield out
+                pending = {}
+            cur = cid
+            pending[batch.column("column")[i].as_py()] = (
+                batch.column("codec")[i].as_py(),
+                batch.column("payload")[i].as_py(),
+                batch.column("n_values")[i].as_py(),
+            )
+    if pending:
+        out = emit(pending)
+        if out is not None:
+            yield out
+
+
+def _val_lane(op: str, val_dtype: str) -> tuple[str, str]:
+    """-> (lane, SQL type of the SUM) for a value column. Three lanes:
+
+    * int    — exact int64 accumulation (SUM(int) -> bigint);
+    * float  — float64 accumulation (SUM(float/double) -> double, the
+               SQL standard promotion);
+    * decimal— exact arbitrary-precision accumulation of the int64
+               unscaled lane (object-dtype adds: chunk-local sums of
+               decimal(18) values overflow int64), SUM -> decimal(38,s).
+
+    timestamps/dates/booleans are rejected exactly as SQL SUM rejects
+    them (metadata_agg serves their min/max)."""
+    if val_dtype in typemap.INT_DTYPES:
+        return "int", "bigint"
+    if val_dtype in typemap.FLOAT_DTYPES:
+        return "float", "double"
+    if typemap.is_decimal(val_dtype):
+        _, s = typemap.decimal_params(val_dtype)
+        return "decimal", f"decimal(38,{s})"
+    raise TypeError(
+        f"{op} needs an int, float, or decimal value column, got {val_dtype}"
+        " (SQL SUM rejects timestamps/dates/booleans; use metadata_agg for"
+        " their min/max)"
+    )
+
+
+def _extract_vals(varr: pa.Array, val_dtype: str, lane: str):
+    """-> (vals ndarray with nulls zeroed, null mask). int/decimal lanes
+    are exact int64; float lane is float64."""
+    if lane == "int":
+        return typemap.to_int64_values(varr, val_dtype)
+    if lane == "float":
+        mask = varr.is_null().to_numpy(zero_copy_only=False)
+        vals = (
+            varr.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False)
+        )
+        return vals, mask
+    ints = typemap.decimal_to_unscaled(varr, val_dtype)
+    mask = ints.is_null().to_numpy(zero_copy_only=False)
+    return ints.fill_null(0).to_numpy(zero_copy_only=False), mask
+
+
+def _group_sums(codes, vals, vmask, m: int, lane: str) -> np.ndarray:
+    """Per-group sums over dictionary codes (nulls contribute 0)."""
+    contrib = np.where(vmask, 0, vals)
+    if lane == "decimal":
+        # exact beyond int64: astype(object) yields Python ints, whose
+        # addition is arbitrary-precision (no per-row Python in the hot
+        # paths — this lane only runs for decimal value columns)
+        sums = np.zeros(m, dtype=object)
+        np.add.at(sums, codes, contrib.astype(object))
+        return sums
+    sums = np.zeros(m, dtype=np.float64 if lane == "float" else np.int64)
+    np.add.at(sums, codes, contrib)
+    return sums
+
+
+def _sum_arrow(sums, keep, lane: str, sum_sql: str) -> pa.Array:
+    if lane == "decimal":
+        import decimal as _dec
+
+        _, s = typemap.decimal_params(sum_sql)
+        return pa.array(
+            [_dec.Decimal(int(v)).scaleb(-s) for v in sums[keep]],
+            type=pa.decimal128(38, s),
+        )
+    t = pa.float64() if lane == "float" else pa.int64()
+    return pa.array(sums[keep], type=t)
+
+
+def _minmax_arrays(
+    codes, vals, vmask, m: int, lane: str, val_dtype: str
+) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """-> (mins, maxs, has) typed in the value column's own type. Float
+    NaN follows Spark's ordering (NaN greater than everything): MAX is
+    NaN when any value in the group is NaN; MIN is NaN only when every
+    non-null value is."""
+    val_t = typemap.spark_to_arrow(val_dtype)
+    nn_codes = codes[~vmask]
+    nn_vals = vals[~vmask]
+    has = np.zeros(m, dtype=bool)
+    np.logical_or.at(has, nn_codes, True)
+    if lane == "float":
+        mins = np.full(m, np.inf)
+        maxs = np.full(m, -np.inf)
+        np.fmin.at(mins, nn_codes, nn_vals)  # fmin/fmax skip NaN
+        np.fmax.at(maxs, nn_codes, nn_vals)
+        nan_in = np.zeros(m, dtype=bool)
+        np.logical_or.at(nan_in, nn_codes, np.isnan(nn_vals))
+        maxs[nan_in] = np.nan  # Spark: NaN is the largest value
+        all_nan = has & (mins == np.inf)
+        mins[all_nan] = np.nan
+        mk = lambda a: pa.array(a, type=pa.float64(), mask=~has).cast(val_t)
+        return mk(mins), mk(maxs), has
+    I64 = np.iinfo(np.int64)
+    mins = np.full(m, I64.max, dtype=np.int64)
+    maxs = np.full(m, I64.min, dtype=np.int64)
+    np.minimum.at(mins, nn_codes, nn_vals)
+    np.maximum.at(maxs, nn_codes, nn_vals)
+    ints = lambda a: pa.array(a, type=pa.int64(), mask=~has)
+    if lane == "decimal":
+        return (
+            typemap.unscaled_to_decimal(ints(mins), val_dtype),
+            typemap.unscaled_to_decimal(ints(maxs), val_dtype),
+            has,
+        )
+    return ints(mins).cast(val_t), ints(maxs).cast(val_t), has
+
+
+def group_stats_encoded(
+    chunks: DataFrame, key_col: str, val_col: str, colocated: bool = False
+) -> DataFrame:
     """Grouped count/sum/min/max in one encoded-side pass:
     ``SELECT key, count(*), count(val), sum(val), min(val), max(val)
     GROUP BY key`` with the key read as dictionary codes (module
-    docstring). Value column must be int-like (exact int64 lanes).
-    Output: (key, n_rows, n_vals, s, mn, mx) — s/mn/mx NULL for groups
-    whose values are all null, SQL semantics."""
+    docstring). Value column may be int (exact int64), float/double
+    (float64, SUM -> double), or decimal(p<=18,s) (exact, SUM ->
+    decimal(38,s)). Output: (key, n_rows, n_vals, s, mn, mx) — s/mn/mx
+    NULL for groups whose values are all null, SQL semantics.
+    ``colocated=True`` skips the chunk_id repartition (see _pair_work)."""
     key_dtype = _column_dtype(chunks, key_col)
     val_dtype = _column_dtype(chunks, val_col)
-    if val_dtype not in typemap.INT_DTYPES:
-        # plain ints only: timestamps/dates would need unit-aware casts
-        # of the min/max back from the int64 lane
-        raise TypeError(
-            f"group_stats_encoded needs an integer value column, got {val_dtype}"
-        )
+    lane, sum_sql = _val_lane("group_stats_encoded", val_dtype)
     out_t = typemap.spark_to_arrow(key_dtype)
-    spark = chunks.sparkSession
-    work = (
-        chunks.filter(F.col("column").isin([key_col, val_col]))
-        .select("chunk_id", "column", "codec", "payload", "n_values")
-        .repartition(spark.sparkContext.defaultParallelism, "chunk_id")
-        .sortWithinPartitions("chunk_id", "column")
-    )
-    I64 = np.iinfo(np.int64)
+    work = _pair_work(chunks, key_col, val_col, colocated)
 
     def emit(group: dict) -> pa.RecordBatch:
         missing = [c for c in (key_col, val_col) if c not in group]
@@ -185,90 +336,59 @@ def group_stats_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFr
         v_codec, v_payload, _ = group[val_col]
         codes, dict_arr, _ = _codes_and_dict(k_payload, key_dtype, k_codec, k_n)
         varr = decode_array(v_payload, val_dtype, v_codec)
-        vals, vmask = typemap.to_int64_values(varr, val_dtype)
+        vals, vmask = _extract_vals(varr, val_dtype, lane)
         m = len(dict_arr) + 1  # + null-key group
-        sums = np.zeros(m, dtype=np.int64)
-        np.add.at(sums, codes, np.where(vmask, 0, vals))
+        sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
         n_rows = np.bincount(codes, minlength=m).astype(np.int64)
-        mins = np.full(m, I64.max, dtype=np.int64)
-        maxs = np.full(m, I64.min, dtype=np.int64)
-        nn_codes = codes[~vmask]
-        np.minimum.at(mins, nn_codes, vals[~vmask])
-        np.maximum.at(maxs, nn_codes, vals[~vmask])
+        mins, maxs, _ = _minmax_arrays(codes, vals, vmask, m, lane, val_dtype)
         keys = pa.concat_arrays([dict_arr.cast(out_t), pa.nulls(1, type=out_t)])
         keep = n_rows > 0
         idx = pa.array(np.flatnonzero(keep), type=pa.int64())
-        has = nn[keep] > 0
         return pa.RecordBatch.from_arrays(
             [
                 keys.take(idx),
                 pa.array(n_rows[keep], type=pa.int64()),
                 pa.array(nn[keep], type=pa.int64()),
-                pa.array(sums[keep], type=pa.int64()),
-                pa.array(mins[keep], type=pa.int64(), mask=~has),
-                pa.array(maxs[keep], type=pa.int64(), mask=~has),
+                _sum_arrow(sums, keep, lane, sum_sql),
+                mins.take(idx),
+                maxs.take(idx),
             ],
             ["key", "n_rows", "nn", "s", "mn", "mx"],
         )
 
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: dict = {}
-        cur = None
-        for batch in batches:
-            for i in range(batch.num_rows):
-                cid = batch.column("chunk_id")[i].as_py()
-                if cid != cur and pending:
-                    yield emit(pending)
-                    pending = {}
-                cur = cid
-                pending[batch.column("column")[i].as_py()] = (
-                    batch.column("codec")[i].as_py(),
-                    batch.column("payload")[i].as_py(),
-                    batch.column("n_values")[i].as_py(),
-                )
-        if pending:
-            yield emit(pending)
-
     partials = work.mapInArrow(
-        fn,
+        lambda batches: _pair_stream(batches, emit),
         schema=(
-            f"key {key_dtype}, n_rows bigint, nn bigint, s bigint,"
-            " mn bigint, mx bigint"
+            f"key {key_dtype}, n_rows bigint, nn bigint, s {sum_sql},"
+            f" mn {val_dtype}, mx {val_dtype}"
         ),
     )
-    val_spark = val_dtype
     return partials.groupBy("key").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("nn").alias("n_vals"),
-        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("s"),
-        F.min("mn").cast(val_spark).alias("mn"),
-        F.max("mx").cast(val_spark).alias("mx"),
+        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).cast(sum_sql).alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
     )
 
 
-def group_sum_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFrame:
+def group_sum_encoded(
+    chunks: DataFrame, key_col: str, val_col: str, colocated: bool = False
+) -> DataFrame:
     """``SELECT key, sum(val) GROUP BY key`` with the key side read from
-    codec structures: per chunk, the key's dictionary codes weight one
-    ``np.bincount`` over the value column — the key's values materialize
-    only at dictionary scale. Value column must be int-like (exact int64
-    arithmetic; matches SQL SUM which ignores null values, and yields a
-    NULL sum for groups whose values are all null). Output columns:
-    (key:<key dtype>, s:bigint)."""
+    codec structures: per chunk, the key's dictionary codes drive one
+    scatter-add over the value column — the key's values materialize
+    only at dictionary scale. Value lanes as group_stats_encoded: int
+    (exact, -> bigint), float/double (-> double), decimal(p<=18,s)
+    (exact, -> decimal(38,s)); SQL SUM semantics (nulls ignored, all-null
+    group -> NULL). Output columns: (key:<key dtype>, s). ``colocated=
+    True`` skips the chunk_id repartition (see _pair_work)."""
     key_dtype = _column_dtype(chunks, key_col)
     val_dtype = _column_dtype(chunks, val_col)
-    if not typemap.is_intlike(val_dtype) or val_dtype == "boolean" or typemap.is_decimal(val_dtype):
-        raise TypeError(
-            f"group_sum_encoded needs an int-like value column, got {val_dtype}"
-        )
+    lane, sum_sql = _val_lane("group_sum_encoded", val_dtype)
     out_t = typemap.spark_to_arrow(key_dtype)
-    spark = chunks.sparkSession
-    work = (
-        chunks.filter(F.col("column").isin([key_col, val_col]))
-        .select("chunk_id", "column", "codec", "payload", "n_values")
-        .repartition(spark.sparkContext.defaultParallelism, "chunk_id")
-        .sortWithinPartitions("chunk_id", "column")
-    )
+    work = _pair_work(chunks, key_col, val_col, colocated)
 
     def emit(group: dict) -> pa.RecordBatch | None:
         if key_col not in group or val_col not in group:
@@ -281,12 +401,9 @@ def group_sum_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFram
         v_codec, v_payload, _ = group[val_col]
         codes, dict_arr, _ = _codes_and_dict(k_payload, key_dtype, k_codec, k_n)
         varr = decode_array(v_payload, val_dtype, v_codec)
-        vals, vmask = typemap.to_int64_values(varr, val_dtype)
+        vals, vmask = _extract_vals(varr, val_dtype, lane)
         m = len(dict_arr) + 1  # + null-key group
-        # int64-exact: bincount(weights=) goes through float64 — sum per
-        # group via np.add.at on an int64 accumulator instead
-        sums = np.zeros(m, dtype=np.int64)
-        np.add.at(sums, codes, np.where(vmask, 0, vals))
+        sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
         keys = pa.concat_arrays([dict_arr.cast(out_t), pa.nulls(1, type=out_t)])
         keep = (nn > 0) | (
@@ -296,35 +413,19 @@ def group_sum_encoded(chunks: DataFrame, key_col: str, val_col: str) -> DataFram
         return pa.RecordBatch.from_arrays(
             [
                 keys.take(idx),
-                pa.array(sums[keep], type=pa.int64()),
+                _sum_arrow(sums, keep, lane, sum_sql),
                 pa.array(nn[keep], type=pa.int64()),
             ],
             ["key", "s", "nn"],
         )
 
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: dict = {}
-        cur = None
-        for batch in batches:
-            for i in range(batch.num_rows):
-                cid = batch.column("chunk_id")[i].as_py()
-                if cid != cur and pending:
-                    out = emit(pending)
-                    if out is not None:
-                        yield out
-                    pending = {}
-                cur = cid
-                pending[batch.column("column")[i].as_py()] = (
-                    batch.column("codec")[i].as_py(),
-                    batch.column("payload")[i].as_py(),
-                    batch.column("n_values")[i].as_py(),
-                )
-        if pending:
-            out = emit(pending)
-            if out is not None:
-                yield out
-
-    partials = work.mapInArrow(fn, schema=f"key {key_dtype}, s bigint, nn bigint")
+    partials = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"key {key_dtype}, s {sum_sql}, nn bigint",
+    )
     return partials.groupBy("key").agg(
-        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).alias("s")
+        F.when(F.sum("nn") > 0, F.sum("s"))
+        .otherwise(F.lit(None))
+        .cast(sum_sql)
+        .alias("s")
     )

@@ -133,3 +133,122 @@ def test_value_counts_works_on_every_codec(spark):
         chunks = pes.encode(df, chunk_rows=128, n_buckets=1, n_salts=1, codec=codec)
         got = _as_map(value_counts_encoded(chunks, "v").collect())
         assert got == want, codec
+
+
+def test_group_sum_float_lane(spark):
+    """SUM over a float/double value column: float64 accumulation, output
+    double (SQL promotion), NaN propagates into its group's sum."""
+    import math
+
+    rows = [("a", 1.5), ("a", 2.25), ("b", float("nan")), ("b", 1.0),
+            ("c", None), ("a", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = _as_map(group_sum_encoded(chunks, "k", "v").collect(), "key")
+    assert got["a"] == 3.75 and math.isnan(got["b"]) and got["c"] is None
+    # float32 column -> double sum
+    df32 = df.withColumn("v", F.col("v").cast("float"))
+    got32 = _as_map(
+        group_sum_encoded(
+            pes.encode(df32, chunk_rows=2, n_buckets=1, n_salts=1), "k", "v"
+        ).collect(),
+        "key",
+    )
+    assert got32["a"] == 3.75
+
+
+def test_group_stats_float_nan_ordering(spark):
+    """Min/max over floats follow Spark's NaN-is-largest ordering: MAX is
+    NaN when the group contains one; MIN is NaN only when all non-null
+    values are NaN."""
+    import math
+
+    rows = [("a", 2.0), ("a", float("nan")), ("a", 1.0),
+            ("b", float("nan")), ("c", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = {
+        r["key"]: (r["n_vals"], r["mn"], r["mx"])
+        for r in group_stats_encoded(chunks, "k", "v").collect()
+    }
+    want = {
+        r["key"]: (r["n_vals"], r["mn"], r["mx"])
+        for r in df.groupBy(F.col("k").alias("key"))
+        .agg(F.count("v").alias("n_vals"), F.min("v").alias("mn"),
+             F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got["a"][0] == want["a"][0] and got["a"][1] == want["a"][1]
+    assert math.isnan(got["a"][2]) and math.isnan(want["a"][2])
+    assert math.isnan(got["b"][1]) and math.isnan(got["b"][2])
+    assert got["c"] == want["c"]
+
+
+def test_group_sum_and_stats_decimal_lane(spark):
+    """Decimal values accumulate exactly (beyond-int64 unscaled sums) and
+    SUM comes back as decimal(38,s); min/max keep the source type."""
+    from decimal import Decimal
+
+    # values near the decimal(18,2) ceiling: any int64 unscaled ACCUMULATION
+    # would overflow after ~10 adds
+    big = Decimal("9000000000000000.25")
+    rows = [("a", big)] * 20 + [("b", Decimal("1.50")), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v decimal(18,2)")
+    chunks = pes.encode(df, chunk_rows=64, n_buckets=1, n_salts=1)
+    got = _as_map(group_sum_encoded(chunks, "k", "v").collect(), "key")
+    assert got["a"] == big * 20 and got["b"] == Decimal("1.50")
+    st = {
+        r["key"]: (r["s"], r["mn"], r["mx"])
+        for r in group_stats_encoded(chunks, "k", "v").collect()
+    }
+    assert st["a"] == (big * 20, big, big)
+    assert st["b"] == (Decimal("1.50"), Decimal("1.50"), Decimal("1.50"))
+
+
+def test_group_sum_rejects_timestamp_and_boolean(spark):
+    """SQL SUM rejects timestamps/dates/booleans — so do the encoded
+    aggregates (summing raw epoch-micro lanes would be silently wrong)."""
+    df = spark.createDataFrame(
+        [("a", True)], "k string, v boolean"
+    ).withColumn("t", F.current_timestamp())
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    with pytest.raises(TypeError):
+        group_sum_encoded(chunks, "k", "v")
+    with pytest.raises(TypeError):
+        group_sum_encoded(chunks, "k", "t")
+    with pytest.raises(TypeError):
+        group_stats_encoded(chunks, "k", "t")
+
+
+def test_colocated_matches_and_skips_exchange(docs, doc_chunks):
+    """colocated=True returns identical results on encode-output chunk
+    tables AND plans no Exchange below the encoded-side kernel — the only
+    shuffle carries (value, partial) rows."""
+    for fn in (group_sum_encoded, group_stats_encoded):
+        a = sorted(map(tuple, fn(doc_chunks, "lang", "n_chars").collect()))
+        b = sorted(
+            map(tuple, fn(doc_chunks, "lang", "n_chars", colocated=True).collect())
+        )
+        assert a == b
+    plan = group_sum_encoded(
+        doc_chunks, "lang", "n_chars", colocated=True
+    )._jdf.queryExecution().executedPlan().toString()
+    # plan prints root-first: anything after "MapInArrow" is BELOW the
+    # encoded-side kernel — no Exchange may move payload bytes there (the
+    # Exchange above it carries (key, partial) rows and is expected)
+    # (the InMemoryRelation subtree re-prints the cached ENCODE pipeline,
+    # whose own clustering Exchange is not part of this query — stop there)
+    def _below_map(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in s, s
+        return s.split("MapInArrow", 1)[1].split("InMemoryTableScan", 1)[0]
+
+    assert "Exchange" not in _below_map(
+        group_sum_encoded(doc_chunks, "lang", "n_chars", colocated=True)
+    )
+    assert "Exchange" not in _below_map(
+        group_stats_encoded(doc_chunks, "lang", "n_chars", colocated=True)
+    )
+    # the default path DOES repartition payload rows (safety for unknown
+    # layouts) — pins that colocated=True is what removes it
+    assert "Exchange" in _below_map(group_sum_encoded(doc_chunks, "lang", "n_chars"))
