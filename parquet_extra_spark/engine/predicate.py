@@ -228,6 +228,107 @@ def _stat_cols(
     return mn, mx, nc, nv, mh, bl
 
 
+# Above this many values, IsIn stops expanding one (possible, certain)
+# expression pair PER VALUE (each with min/max/digest subterms — a 100k-key
+# merge would build a ~200k-term Catalyst tree that stalls analysis long
+# before data moves) and switches to DATA-SHAPED pruning: one min/max
+# envelope + ONE array-literal overlap against the membership digest.
+_ISIN_EXPAND_MAX = 64
+
+
+def _canon_stat_strings(vals: tuple, dtype: str) -> list[str] | None:
+    """Values -> the exact canonical strings stats.py stores in
+    min_val/max_val, or None when the (value, dtype) pairing is outside
+    the canonical contract (then the large-set path reports certain=False
+    — sound). Mirrors member_hash_for's strictness."""
+    if dtype == "boolean":
+        if all(isinstance(v, bool) for v in vals):
+            return [str(int(v)) for v in vals]
+        return None
+    if dtype in typemap.INT_DTYPES:
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return [str(v) for v in vals]
+        return None
+    if dtype == "string":
+        if all(isinstance(v, str) for v in vals):
+            return list(vals)
+        return None
+    return None
+
+
+def _isin_envelope(vals: list, dtype: str):
+    """(lo, hi) of the value set in the stats-comparison domain, or
+    (None, None) when the literals are not cleanly comparable (then no
+    envelope pruning — sound)."""
+    try:
+        if dtype == "boolean":
+            if all(isinstance(v, bool) for v in vals):
+                iv = [int(v) for v in vals]
+                return min(iv), max(iv)
+            return None, None
+        if dtype in _NUMERIC or typemap.is_decimal(dtype) or dtype == "string":
+            if dtype == "string" and not all(isinstance(v, str) for v in vals):
+                return None, None
+            return min(vals), max(vals)
+    except TypeError:
+        pass
+    return None, None
+
+
+def _isin_large(pred: IsIn, dtypes: dict[str, str]) -> tuple[Column, Column]:
+    """Large-value-set membership pruning (see _ISIN_EXPAND_MAX): the plan
+    stays O(1) expressions regardless of |values| — the value set travels
+    as array LITERALS (one Literal node each), so merge_rows is honest at
+    its max_keys=100_000 bound.
+
+    possible: [min,max] envelope overlap, refined by ONE
+    ``arrays_overlap(member_hashes, <sorted hash set>)`` when every value
+    canonicalizes (the exact-digest analogue of the per-value
+    array_contains). Bloom digests are deliberately NOT consulted here —
+    k probe expressions per value would rebuild the very blowup this path
+    removes. certain: a single-valued chunk (raw min_val == max_val
+    string, exact by stats.py's canonical rendering; a truncated string
+    min can only equal a non-null max when both equal the true value)
+    whose value is in the set.
+    """
+    c = pred.column
+    dtype = dtypes[c]
+    mn, mx, nc, nv, mh, _ = _stat_cols(c, dtype)
+    has_non_null = nc < nv
+    no_nulls = nc == F.lit(0)
+    vals = [v for v in pred.values if v is not None]
+    if not vals:
+        # IN (NULL, ...): a NULL list item never evaluates TRUE
+        return F.lit(False), F.lit(False)
+    possible = has_non_null
+    lo, hi = _isin_envelope(vals, dtype)
+    if lo is not None:
+        possible = (
+            possible
+            & (mn.isNull() | (mn <= _typed_value(hi, dtype)))
+            & (mx.isNull() | (mx >= _typed_value(lo, dtype)))
+        )
+    hs = [stats_lib.member_hash_for(v, dtype) for v in vals]
+    if all(h is not None for h in hs):
+        possible = possible & (
+            mh.isNull() | F.arrays_overlap(mh, F.lit(sorted(set(hs))))
+        )
+    canon = _canon_stat_strings(tuple(vals), dtype)
+    if canon is not None:
+        raw_mn = F.col(f"`{c}_mn`")
+        raw_mx = F.col(f"`{c}_mx`")
+        certain = (
+            no_nulls
+            & raw_mn.isNotNull()
+            & raw_mx.isNotNull()
+            & (raw_mn == raw_mx)
+            & F.array_contains(F.lit(sorted(set(canon))), raw_mn)
+        )
+    else:
+        certain = F.lit(False)
+    return possible, certain
+
+
 def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
     """-> (possible, certain) boolean Columns over the wide stats frame."""
     if isinstance(pred, Cmp):
@@ -295,6 +396,8 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
             raise ValueError(pred.op)
         return possible, certain
     if isinstance(pred, IsIn):
+        if len(pred.values) > _ISIN_EXPAND_MAX:
+            return _isin_large(pred, dtypes)
         parts = [_eval_stats(Cmp("eq", pred.column, v), dtypes) for v in pred.values]
         if not parts:
             return F.lit(False), F.lit(False)

@@ -23,6 +23,7 @@ from ..codecs import typemap
 from .decoder import decode, discover_schema
 
 _NUMERIC = typemap.INT_DTYPES | typemap.FLOAT_DTYPES
+_ISIN_EXPAND_MAX = 64  # shared threshold with predicate._ISIN_EXPAND_MAX
 
 
 def _typed_stat(col: Column, dtype: str) -> Column:
@@ -138,6 +139,31 @@ def chunk_isin_filter(
     mx = _typed_stat(F.col("max_val"), dtype)
     has_digest = "member_hashes" in chunks.columns
     has_bloom = "member_bloom" in chunks.columns
+    if len(values) > _ISIN_EXPAND_MAX:
+        # large value sets: O(1) expressions instead of one OR term per
+        # value (see predicate._isin_large — same envelope + single
+        # arrays_overlap literal; bloom deliberately unused here)
+        from .predicate import _isin_envelope
+        from .stats import member_hash_for
+
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return chunks.limit(0)
+        keep = F.lit(True)
+        lo, hi = _isin_envelope(vals, dtype)
+        if lo is not None:
+            keep = (
+                (mn.isNull() | (mn <= _typed_bound(hi, dtype)))
+                & (mx.isNull() | (mx >= _typed_bound(lo, dtype)))
+            )
+        hs = [member_hash_for(v, dtype) for v in vals]
+        if has_digest and all(h is not None for h in hs):
+            keep = keep & (
+                F.col("member_hashes").isNull()
+                | F.arrays_overlap("member_hashes", F.lit(sorted(set(hs))))
+            )
+        surviving = stat_rows.filter(keep).select("chunk_id")
+        return semi_join_surviving(chunks, surviving)
     any_in = None
     for v in values:
         vl = _typed_bound(v, dtype)

@@ -113,3 +113,28 @@ def test_merge_rejects_schema_mismatch(spark):
     bad = spark.createDataFrame([(2,)], "k bigint")
     with pytest.raises(ValueError, match="MERGE replaces whole rows"):
         pes.merge_rows(chunks, bad, "k")
+
+
+def test_merge_large_key_batch_plans_and_completes(spark):
+    """A merge at tens of thousands of distinct keys must PLAN (the isin
+    pruning switches to the array-literal form above 64 values instead of
+    expanding ~2 expression terms per key) and produce exact upsert
+    results."""
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    chunks = pes.encode(
+        df, sort_cols=["k"], chunk_rows=4096, n_buckets=4, n_salts=2,
+        unit_sort=True,
+    ).cache()
+    chunks.count()
+    updates = spark.range(50_000).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v")
+    )
+    out = pes.merge_rows(chunks, updates, "k", chunk_rows=4096)
+    dec = pes.decode(out)
+    assert dec.count() == n
+    assert dec.filter("v = -1").count() == 50_000
+    assert dec.filter("k >= 50000 AND v = -1").count() == 0
+    chunks.unpersist()

@@ -271,3 +271,64 @@ def test_prune_does_not_force_broadcast(chunks):
     # a selective predicate still prunes (the coarse half keeps working)
     stats = pes.pushdown_stats_pred(chunks, pes.P.eq("g", "g0"))
     assert stats["chunks_skipped"] > 0
+
+
+def test_isin_large_set_matches_and_prunes(spark):
+    """Above the per-value expansion threshold, isin pruning switches to
+    the envelope + digest-overlap form: results stay exact and chunks
+    outside the value range (or provably digest-disjoint) are skipped."""
+    from parquet_extra_spark.engine.predicate import (
+        P,
+        filter_decode_pred,
+        pushdown_stats_pred,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 8).cast("string")).alias("g"),
+    )
+    chunks = pes.encode(
+        df, sort_cols=["k"], chunk_rows=256, n_buckets=1, n_salts=1,
+        unit_sort=True,
+    ).cache()
+    chunks.count()
+    values = list(range(0, 500))  # 500 values >> the 64-term threshold
+    pred = P.isin("k", values)
+    got = sorted(r["k"] for r in filter_decode_pred(chunks, pred).collect())
+    assert got == values
+    st = pushdown_stats_pred(chunks, pred)
+    assert st["chunks_skipped"] > 0, st  # envelope pruned the k>=512 chunks
+
+    # digest overlap: values inside the string range but provably absent
+    # from the column's exact member set still skip every chunk
+    absent = [f"x{i:03d}" for i in range(70)] + ["g15"]
+    st2 = pushdown_stats_pred(chunks, P.isin("g", absent))
+    assert st2["chunks_kept"] == 0, st2
+    got2 = filter_decode_pred(chunks, P.isin("g", absent)).count()
+    assert got2 == 0
+    # and a set that does hit keeps chunks + returns exact rows
+    hit = [f"x{i:03d}" for i in range(70)] + ["g3"]
+    got3 = filter_decode_pred(chunks, P.isin("g", hit)).count()
+    assert got3 == df.filter(F.col("g").isin(hit)).count() == 250
+    chunks.unpersist()
+
+
+def test_isin_large_set_certain_drop(spark):
+    """delete_where with a large key set still certain-drops single-valued
+    chunks on metadata alone (raw-stat string equality + array literal)."""
+    from parquet_extra_spark.engine.maintain import delete_stats
+    from parquet_extra_spark.engine.predicate import P
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+        F.col("id").alias("k"),
+    )
+    # one (g) unit per group, chunk big enough to hold it: single-valued g
+    chunks = pes.encode(
+        df, partition_cols=["g"], chunk_rows=4096, n_buckets=8, n_salts=1
+    ).cache()
+    chunks.count()
+    values = ["g1", "g2"] + [f"zz{i}" for i in range(80)]
+    st = delete_stats(chunks, P.isin("g", values))
+    assert st["chunks_dropped"] == 2 and st["chunks_rewritten"] == 0, st
+    chunks.unpersist()
