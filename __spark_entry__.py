@@ -563,16 +563,78 @@ def q_encoded_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_encoded_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-over-compressed: grouped int64-exact SUM where the group
     key is read as dictionary codes, never materialized per row
-    (engine/encoded_agg.group_sum_encoded)."""
+    (engine/encoded_agg.group_sum_encoded). colocated=True: encode output
+    keeps each chunk's rows in one partition, so the only shuffle carries
+    (key, partial) pairs."""
     chunks, _ = _doc_chunks(spark, sf_dir)
-    return pes.group_sum_encoded(chunks, "lang", "n_chars")
+    return pes.group_sum_encoded(chunks, "lang", "n_chars", colocated=True)
 
 
 def q_encoded_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-over-compressed: grouped count/sum/min/max in ONE
-    encoded-side pass (engine/encoded_agg.group_stats_encoded)."""
+    encoded-side pass (engine/encoded_agg.group_stats_encoded),
+    no-shuffle colocated path."""
     chunks, _ = _doc_chunks(spark, sf_dir)
-    return pes.group_stats_encoded(chunks, "lang", "n_chars")
+    return pes.group_stats_encoded(chunks, "lang", "n_chars", colocated=True)
+
+
+def q_encoded_group_sum_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded SUM's float lane: a double value column accumulates in
+    float64 and returns the SQL promotion type (double). The doubles here
+    are integer-valued, so the sum is order-independent and bit-exact
+    against the oracle."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "chars_f", F.col("n_chars").cast("double")
+    )
+    chunks = pes.encode(docs, **_DOC_ENCODE)
+    return pes.group_sum_encoded(chunks, "lang", "chars_f", colocated=True)
+
+
+def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19/O20 on the SQL surface: .option("columns", ...) decodes ONLY
+    the requested columns from a checkpoint-layout table whose planning
+    (schema + file list) is served entirely by the manifest sidecars —
+    no data file is opened before execution."""
+    import os as _os
+    import shutil as _shutil
+
+    from parquet_extra_spark.sources import ChunkTableDataSource
+
+    spark.dataSource.register(ChunkTableDataSource)
+    docs = _docs(spark, sf_dir)
+    out = f"/tmp/pes_ckpt_proj_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(out, ignore_errors=True)
+    pes.encode_to(docs, out, **_DOC_ENCODE)
+    return (
+        spark.read.format("chunktable")
+        .option("columns", "doc_id,lang")
+        .load(out)
+    )
+
+
+def q_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27 on the SQL surface: df.write.format("chunktable") ->
+    spark.read.format("chunktable") identity — the writer commits through
+    the same manifest protocol as encode_to (chunks first, manifest row +
+    schema sidecar as the commit point)."""
+    import os as _os
+    import shutil as _shutil
+
+    from parquet_extra_spark.sources import ChunkTableDataSource
+
+    spark.dataSource.register(ChunkTableDataSource)
+    docs = _docs(spark, sf_dir)
+    out = f"/tmp/pes_ckpt_write_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(out, ignore_errors=True)
+    (
+        docs.repartition(4, "lang")
+        .write.format("chunktable")
+        .mode("append")
+        .option("chunk_rows", "4096")
+        .option("sort_cols", "doc_id")
+        .save(out)
+    )
+    return spark.read.format("chunktable").load(out)
 
 
 def q_roundtrip_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "datasource_filter": q_datasource_filter,
         "encoded_group_stats": q_encoded_group_stats,
+        "encoded_group_sum_float": q_encoded_group_sum_float,
+        "datasource_projection": q_datasource_projection,
+        "datasource_write_roundtrip": q_datasource_write_roundtrip,
     }
 
 
@@ -1013,6 +1078,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang AS key, count(*) AS n_rows, count(n_chars) AS n_vals,"
             " CAST(sum(n_chars) AS BIGINT) AS s, min(n_chars) AS mn,"
             " max(n_chars) AS mx FROM documents GROUP BY lang"
+        ),
+        "encoded_group_sum_float": (
+            "SELECT lang AS key, sum(CAST(n_chars AS DOUBLE)) AS s"
+            " FROM documents GROUP BY lang"
+        ),
+        "datasource_projection": "SELECT doc_id, lang FROM documents",
+        "datasource_write_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "column_profile": profile_union,
         "infer_repetition": rep_union,

@@ -58,12 +58,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
     # --- corpus encode/decode (the engine's heart, at ~content-heavy scale)
     # 1M rows (~1.8 GB raw): small enough to keep the whole bench under a
     # few minutes, big enough that chunk sizes (and hence the compression
@@ -261,6 +255,29 @@ def main() -> None:
     enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
     extra["encoded_vs_parquet_zstd"] = round(enc_bytes / pq_bytes, 4)
 
+    # Every remaining query is PAIRED with a window probe (round-3 gap:
+    # only encode/parquet were paired, so a throttled window read as a
+    # per-query regression — r3's committed artifact ran at probes
+    # 0.51-0.52 vs the same code at 0.35-0.44). Protocol: probe, run,
+    # record (time, probe); afterwards rerun any query whose probe was
+    # >1.4x the session's best probe and keep its faster sample. Probes
+    # ship in the artifact (extra.query_probes) so a regression can be
+    # attributed to the host window instead of the code.
+    query_probes: dict[str, float] = {}
+    probe_state = {"best": None}
+
+    def run_probed(name, fn):
+        p = window_probe()
+        if probe_state["best"] is None or p < probe_state["best"]:
+            probe_state["best"] = p
+        t0 = time.time()
+        fn()
+        dt = round(time.time() - t0, 3)
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
+            query_probes[name] = round(p, 3)
+        return p
+
     def decode_verify():
         # co-located no-shuffle decode: the chunk table is cached straight
         # from encode, so every chunk's rows share a partition by
@@ -271,26 +288,32 @@ def main() -> None:
         )
         assert pes.roundtrip_ok(corpus, dec), "round trip failed at bench scale"
 
-    # best-of-2 like encode: a single sample can record a throttling
-    # window instead of the engine
-    timed("decode_verify_corpus", decode_verify)
-    t_first_dec = timings["decode_verify_corpus"]
-    timed("decode_verify_corpus", decode_verify)
-    if timings["decode_verify_corpus"] > t_first_dec:
-        timings["decode_verify_corpus"] = t_first_dec
+    probe_state["best"] = probe_best
+    run_probed("decode_verify_corpus", decode_verify)
     corpus.unpersist()
 
     # --- driver-table queries (same set the correctness gate runs)
     qs = entry_mod.queries()
-    for name in [
+    names = [
         "projection",
         "roundtrip_sha",
         "filter_pushdown",
         "column_profile",
         "pricing_summary",
         "order_segments",
-    ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    ]
+    fns = {"decode_verify_corpus": decode_verify}
+    for name in names:
+        fns[name] = lambda n=name: qs[n](spark, sf_dir).count()
+        run_probed(name, fns[name])
+    # rerun pass: any query measured in a throttled window gets one more
+    # shot in (hopefully) a cleaner one; best sample wins
+    for name in ["decode_verify_corpus"] + names:
+        if query_probes[name] > probe_state["best"] * 1.4:
+            time.sleep(2)
+            run_probed(name, fns[name])
+    extra["query_probes"] = query_probes
+    extra["query_probe_best"] = round(probe_state["best"], 3)
 
     total = round(sum(timings.values()), 3)
     print(
