@@ -290,6 +290,44 @@ def main() -> None:
         formatted(vc),
     ))
 
+    # colocated encoded GROUP BY: the round-3 unconditional payload
+    # repartition is gone — no Exchange below the kernel
+    gs = pes.group_sum_encoded(vc_chunks, "lang", "n_chars", colocated=True)
+    gs_plan = formatted(gs)
+    below = gs_plan.split("MapInArrow", 1)[-1].split("InMemoryTableScan", 1)[0]
+    sections.append((
+        "encoded GROUP BY, colocated (group_sum_encoded colocated=True)",
+        "On encode-output chunk tables every chunk's rows already share a "
+        "partition, so the aggregate needs only an in-partition sort below "
+        "the kernel: the ONLY Exchange in the plan carries (key, partial) "
+        "rows. At 100 TB this is the difference between shuffling ~8 TB of "
+        "encoded bytes and shuffling kilobytes of partials. "
+        f"Exchange below the kernel: {'NONE' if 'Exchange' not in below else 'PRESENT (bug)'}.",
+        gs_plan,
+    ))
+
+    # large-set membership pruning: the plan stays O(1) expressions
+    import time as _time
+
+    big_keys = list(range(100_000))
+    t0 = _time.time()
+    from parquet_extra_spark.engine.predicate import prune_chunks
+
+    big_pruned = prune_chunks(vc_chunks, pes.P.isin("doc_id", big_keys))
+    big_plan = formatted(big_pruned)
+    plan_ms = (_time.time() - t0) * 1000.0
+    sections.append((
+        "100k-key membership prune (IsIn above the expansion threshold)",
+        "Above 64 values IsIn stops expanding per-value expression terms "
+        "(a 100k-key merge would otherwise build a ~200k-term Catalyst "
+        "tree, and merely constructing the literals costs one py4j round "
+        "trip each — measured ~100 s at 100k keys) and goes data-shaped: "
+        "a [min,max] envelope plus broadcast semi-joins of the hashed "
+        "value set as a DataFrame against the exploded membership "
+        f"digests. This 100k-key prune planned in {plan_ms:.0f} ms.",
+        big_plan[:1500] + "\n... (array literals elided: plan truncated)",
+    ))
+
     # DELETE: metadata-decided three-way split
     sorted_chunks = pes.encode(
         docs, sort_cols=["doc_id"], unit_sort=True, chunk_rows=64,

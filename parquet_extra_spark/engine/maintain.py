@@ -56,7 +56,10 @@ def _verdicts(
     if unknown:
         raise ValueError(f"predicate references unknown columns: {unknown}")
     stats = chunk_stats_frame(chunks, refs)
-    possible, certain = _eval_stats(pred, dtypes)
+    from .predicate import materialize_large_isin
+
+    stats, env = materialize_large_isin(stats, pred, dtypes)
+    possible, certain = _eval_stats(pred, dtypes, env)
     return stats.select(
         "chunk_id",
         F.coalesce(possible, F.lit(True)).alias("__p"),

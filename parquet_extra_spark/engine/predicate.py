@@ -230,9 +230,10 @@ def _stat_cols(
 
 # Above this many values, IsIn stops expanding one (possible, certain)
 # expression pair PER VALUE (each with min/max/digest subterms — a 100k-key
-# merge would build a ~200k-term Catalyst tree that stalls analysis long
-# before data moves) and switches to DATA-SHAPED pruning: one min/max
-# envelope + ONE array-literal overlap against the membership digest.
+# merge would build a ~200k-term Catalyst tree, and merely CONSTRUCTING the
+# per-value literals costs one py4j round trip each) and switches to
+# DATA-SHAPED pruning: a min/max envelope plus broadcast semi-joins of the
+# value set as a DataFrame (materialize_large_isin).
 _ISIN_EXPAND_MAX = 64
 
 
@@ -276,26 +277,19 @@ def _isin_envelope(vals: list, dtype: str):
 
 
 def _isin_large(pred: IsIn, dtypes: dict[str, str]) -> tuple[Column, Column]:
-    """Large-value-set membership pruning (see _ISIN_EXPAND_MAX): the plan
-    stays O(1) expressions regardless of |values| — the value set travels
-    as array LITERALS (one Literal node each), so merge_rows is honest at
-    its max_keys=100_000 bound.
-
-    possible: [min,max] envelope overlap, refined by ONE
-    ``arrays_overlap(member_hashes, <sorted hash set>)`` when every value
-    canonicalizes (the exact-digest analogue of the per-value
-    array_contains). Bloom digests are deliberately NOT consulted here —
-    k probe expressions per value would rebuild the very blowup this path
-    removes. certain: a single-valued chunk (raw min_val == max_val
-    string, exact by stats.py's canonical rendering; a truncated string
-    min can only equal a non-null max when both equal the true value)
-    whose value is in the set.
-    """
+    """Expression-only fallback for a large IsIn (see _ISIN_EXPAND_MAX):
+    a [min,max] envelope — two comparisons regardless of |values| — with
+    certain=False. Sound but coarse; engine entry points (prune_chunks,
+    maintain._verdicts, chunk_isin_filter) refine it with the DATA-SHAPED
+    form instead: the value set becomes a broadcast DataFrame semi-joined
+    against the membership digests (materialize_large_isin). Per-value
+    expressions are never built — a Python-side literal per value costs
+    one py4j round trip each (measured ~100 s to merely BUILD a 100k-key
+    predicate) before Catalyst even sees the ~200k-term tree."""
     c = pred.column
     dtype = dtypes[c]
-    mn, mx, nc, nv, mh, _ = _stat_cols(c, dtype)
+    mn, mx, nc, nv, _, _ = _stat_cols(c, dtype)
     has_non_null = nc < nv
-    no_nulls = nc == F.lit(0)
     vals = [v for v in pred.values if v is not None]
     if not vals:
         # IN (NULL, ...): a NULL list item never evaluates TRUE
@@ -308,29 +302,116 @@ def _isin_large(pred: IsIn, dtypes: dict[str, str]) -> tuple[Column, Column]:
             & (mn.isNull() | (mn <= _typed_value(hi, dtype)))
             & (mx.isNull() | (mx >= _typed_value(lo, dtype)))
         )
-    hs = [stats_lib.member_hash_for(v, dtype) for v in vals]
-    if all(h is not None for h in hs):
-        possible = possible & (
-            mh.isNull() | F.arrays_overlap(mh, F.lit(sorted(set(hs))))
-        )
-    canon = _canon_stat_strings(tuple(vals), dtype)
-    if canon is not None:
-        raw_mn = F.col(f"`{c}_mn`")
-        raw_mx = F.col(f"`{c}_mx`")
-        certain = (
-            no_nulls
-            & raw_mn.isNotNull()
-            & raw_mx.isNotNull()
-            & (raw_mn == raw_mx)
-            & F.array_contains(F.lit(sorted(set(canon))), raw_mn)
-        )
-    else:
+    return possible, F.lit(False)
+
+
+def _large_isin_leaves(pred: Pred) -> list[IsIn]:
+    if isinstance(pred, IsIn) and len(pred.values) > _ISIN_EXPAND_MAX:
+        return [pred]
+    if isinstance(pred, (And, Or)):
+        return _large_isin_leaves(pred.left) + _large_isin_leaves(pred.right)
+    if isinstance(pred, Not):
+        return _large_isin_leaves(pred.child)
+    return []
+
+
+def materialize_large_isin(
+    stats: DataFrame, pred: Pred, dtypes: dict[str, str]
+) -> tuple[DataFrame, dict]:
+    """Precompute per-chunk (possible, certain) BOOLEAN COLUMNS for every
+    large IsIn leaf of ``pred`` on the wide stats frame — data-shaped
+    membership instead of per-value expressions, so merge_rows is honest
+    at its max_keys=100_000 bound:
+
+    * possible = [min,max] envelope AND, when every value canonicalizes,
+      a digest check: explode the chunk's member_hashes (<= 64 per chunk)
+      and broadcast-semi-join against the hashed VALUE SET as a DataFrame
+      — chunks whose exact digest misses the whole set are skipped. Bloom
+      digests are deliberately not consulted (k probes x |values|).
+    * certain = single-valued chunk (raw min_val == max_val string, exact
+      under stats.py's canonical rendering; a truncated string min can
+      only equal a non-null max when both equal the true value) whose
+      value string broadcast-joins into the set, with zero nulls.
+
+    All joins are metadata-scale (the stats frame), broadcast on the key
+    set. Returns (widened stats frame, {IsIn leaf: (possible_col,
+    certain_col)}) for _eval_stats to consume.
+    """
+    spark = stats.sparkSession
+    env: dict = {}
+    for i, leaf in enumerate(dict.fromkeys(_large_isin_leaves(pred))):
+        c, dtype = leaf.column, dtypes[leaf.column]
+        pcol, ccol = f"__pe_isin_p{i}", f"__pe_isin_c{i}"
+        vals = [v for v in leaf.values if v is not None]
+        if not vals:
+            stats = stats.withColumn(pcol, F.lit(False)).withColumn(
+                ccol, F.lit(False)
+            )
+            env[leaf] = (pcol, ccol)
+            continue
+        mn, mx, nc, nv, mh, _ = _stat_cols(c, dtype)
+        possible = nc < nv
+        lo, hi = _isin_envelope(vals, dtype)
+        if lo is not None:
+            possible = (
+                possible
+                & (mn.isNull() | (mn <= _typed_value(hi, dtype)))
+                & (mx.isNull() | (mx >= _typed_value(lo, dtype)))
+            )
+        hs = [stats_lib.member_hash_for(v, dtype) for v in vals]
+        if all(h is not None for h in hs):
+            key_df = spark.createDataFrame(
+                [(int(h),) for h in sorted(set(hs))], "h bigint"
+            )
+            hit = (
+                stats.select("chunk_id", F.explode(f"`{c}_mh`").alias("h"))
+                .join(F.broadcast(key_df), "h", "left_semi")
+                .select("chunk_id")
+                .distinct()
+                .withColumn(f"__pe_dig{i}", F.lit(True))
+            )
+            stats = stats.join(hit, "chunk_id", "left")
+            possible = possible & (
+                mh.isNull() | F.coalesce(F.col(f"__pe_dig{i}"), F.lit(False))
+            )
         certain = F.lit(False)
-    return possible, certain
+        canon = _canon_stat_strings(tuple(vals), dtype)
+        if canon is not None:
+            canon_df = spark.createDataFrame(
+                [(s,) for s in sorted(set(canon))], "v string"
+            )
+            cert = (
+                stats.select(
+                    "chunk_id",
+                    F.col(f"`{c}_mn`").alias("v"),
+                    F.col(f"`{c}_mx`").alias("__pe_vx"),
+                    F.col(f"`{c}_nc`").alias("__pe_nc"),
+                )
+                .filter(
+                    F.col("v").isNotNull()
+                    & (F.col("v") == F.col("__pe_vx"))
+                    & (F.col("__pe_nc") == 0)
+                )
+                .join(F.broadcast(canon_df), "v", "left_semi")
+                .select("chunk_id")
+                .distinct()
+                .withColumn(f"__pe_cert{i}", F.lit(True))
+            )
+            stats = stats.join(cert, "chunk_id", "left")
+            certain = F.coalesce(F.col(f"__pe_cert{i}"), F.lit(False))
+        stats = stats.withColumn(pcol, possible).withColumn(ccol, certain)
+        env[leaf] = (pcol, ccol)
+    return stats, env
 
 
-def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
-    """-> (possible, certain) boolean Columns over the wide stats frame."""
+def _eval_stats(
+    pred: Pred, dtypes: dict[str, str], env: dict | None = None
+) -> tuple[Column, Column]:
+    """-> (possible, certain) boolean Columns over the wide stats frame.
+
+    ``env`` maps large IsIn leaves to pre-materialized boolean column
+    names (materialize_large_isin); leaves not in the env fall back to
+    the expression-only envelope (_isin_large, sound but coarser)."""
     if isinstance(pred, Cmp):
         mn, mx, nc, nv, mh, bl = _stat_cols(pred.column, dtypes[pred.column])
         v = _typed_value(pred.value, dtypes[pred.column])
@@ -396,6 +477,9 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
             raise ValueError(pred.op)
         return possible, certain
     if isinstance(pred, IsIn):
+        if env is not None and pred in env:
+            pcol, ccol = env[pred]
+            return F.col(pcol), F.col(ccol)
         if len(pred.values) > _ISIN_EXPAND_MAX:
             return _isin_large(pred, dtypes)
         parts = [_eval_stats(Cmp("eq", pred.column, v), dtypes) for v in pred.values]
@@ -411,15 +495,15 @@ def _eval_stats(pred: Pred, dtypes: dict[str, str]) -> tuple[Column, Column]:
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc < nv, nc == F.lit(0)
     if isinstance(pred, And):
-        pl, cl = _eval_stats(pred.left, dtypes)
-        pr, cr = _eval_stats(pred.right, dtypes)
+        pl, cl = _eval_stats(pred.left, dtypes, env)
+        pr, cr = _eval_stats(pred.right, dtypes, env)
         return pl & pr, cl & cr
     if isinstance(pred, Or):
-        pl, cl = _eval_stats(pred.left, dtypes)
-        pr, cr = _eval_stats(pred.right, dtypes)
+        pl, cl = _eval_stats(pred.left, dtypes, env)
+        pr, cr = _eval_stats(pred.right, dtypes, env)
         return pl | pr, cl | cr
     if isinstance(pred, Not):
-        pc, cc = _eval_stats(pred.child, dtypes)
+        pc, cc = _eval_stats(pred.child, dtypes, env)
         return ~cc, ~pc
     raise TypeError(f"not a Pred: {pred!r}")
 
@@ -468,7 +552,8 @@ def prune_chunks(
     if unknown:
         raise ValueError(f"predicate references unknown columns: {unknown}")
     stats = chunk_stats_frame(chunks, refs)
-    possible, _ = _eval_stats(pred, dtypes)
+    stats, env = materialize_large_isin(stats, pred, dtypes)
+    possible, _ = _eval_stats(pred, dtypes, env)
     # null-safe keep: an unexpectedly NULL verdict must keep the chunk
     surviving = stats.filter(F.coalesce(possible, F.lit(True))).select("chunk_id")
     # AQE-decided semi-join (no forced broadcast): an unselective predicate

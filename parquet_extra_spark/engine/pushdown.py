@@ -140,9 +140,13 @@ def chunk_isin_filter(
     has_digest = "member_hashes" in chunks.columns
     has_bloom = "member_bloom" in chunks.columns
     if len(values) > _ISIN_EXPAND_MAX:
-        # large value sets: O(1) expressions instead of one OR term per
-        # value (see predicate._isin_large — same envelope + single
-        # arrays_overlap literal; bloom deliberately unused here)
+        # large value sets: data-shaped pruning instead of one OR term per
+        # value — a [min,max] envelope (two comparisons) plus a digest
+        # check via broadcast semi-join of the HASHED VALUE SET as a
+        # DataFrame against the exploded member_hashes (<= 64 per chunk).
+        # Per-value expressions are never built: even constructing them
+        # costs one py4j round trip per value. Bloom digests deliberately
+        # unused here (k probes x |values|).
         from .predicate import _isin_envelope
         from .stats import member_hash_for
 
@@ -158,9 +162,22 @@ def chunk_isin_filter(
             )
         hs = [member_hash_for(v, dtype) for v in vals]
         if has_digest and all(h is not None for h in hs):
+            key_df = chunks.sparkSession.createDataFrame(
+                [(int(h),) for h in sorted(set(hs))], "h bigint"
+            )
+            hit = (
+                stat_rows.select(
+                    "chunk_id", F.explode("member_hashes").alias("h")
+                )
+                .join(F.broadcast(key_df), "h", "left_semi")
+                .select("chunk_id")
+                .distinct()
+                .withColumn("__pe_dig", F.lit(True))
+            )
+            stat_rows = stat_rows.join(hit, "chunk_id", "left")
             keep = keep & (
                 F.col("member_hashes").isNull()
-                | F.arrays_overlap("member_hashes", F.lit(sorted(set(hs))))
+                | F.coalesce(F.col("__pe_dig"), F.lit(False))
             )
         surviving = stat_rows.filter(keep).select("chunk_id")
         return semi_join_surviving(chunks, surviving)

@@ -117,8 +117,8 @@ def test_merge_rejects_schema_mismatch(spark):
 
 def test_merge_large_key_batch_plans_and_completes(spark):
     """A merge at tens of thousands of distinct keys must PLAN (the isin
-    pruning switches to the array-literal form above 64 values instead of
-    expanding ~2 expression terms per key) and produce exact upsert
+    pruning goes data-shaped above 64 values (broadcast-joined value set)
+    instead of expanding ~2 expression terms per key) and produce exact upsert
     results."""
     n = 60_000
     df = spark.range(n).select(

@@ -275,7 +275,7 @@ def test_prune_does_not_force_broadcast(chunks):
 
 def test_isin_large_set_matches_and_prunes(spark):
     """Above the per-value expansion threshold, isin pruning switches to
-    the envelope + digest-overlap form: results stay exact and chunks
+    the envelope + broadcast-joined digest form: results stay exact and chunks
     outside the value range (or provably digest-disjoint) are skipped."""
     from parquet_extra_spark.engine.predicate import (
         P,
