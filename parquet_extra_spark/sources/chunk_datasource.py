@@ -152,12 +152,32 @@ def _flat_listing(path: str) -> list[str]:
         return []
 
 
-def _committed_runs(manifest: str) -> list[str]:
+def _committed_runs(
+    manifest: str, as_of: float | None = None, after: float | None = None
+) -> list[str]:
+    """Committed run ids, optionally snapshot-filtered on the manifest's
+    ``committed_at`` (the Iceberg snapshot-read / incremental-scan
+    analogue, same semantics as engine read_chunks(as_of=/after=)).
+    Wall-clock caveat applies (see read_chunks): exact for a single
+    sequential writer per checkpoint dir; for incremental consumption
+    under concurrent writers use the STREAM source (run-id-set offsets)."""
+    want = ["run_id"] if as_of is None and after is None else ["run_id", "committed_at"]
     try:
-        t = pq.read_table(manifest, columns=["run_id"])
+        t = pq.read_table(manifest, columns=want)
     except Exception:
         return []
-    return sorted(set(t.column("run_id").to_pylist()))
+    if as_of is None and after is None:
+        return sorted(set(t.column("run_id").to_pylist()))
+    runs: dict[str, float] = {}
+    for r, c in zip(
+        t.column("run_id").to_pylist(), t.column("committed_at").to_pylist()
+    ):
+        runs[r] = max(runs.get(r, c), c)
+    return sorted(
+        r
+        for r, c in runs.items()
+        if (as_of is None or c <= as_of) and (after is None or c > after)
+    )
 
 
 def _run_files(root: str, runs: list[str]) -> list[str]:
@@ -173,13 +193,21 @@ def _run_files(root: str, runs: list[str]) -> list[str]:
     return files
 
 
-def _committed_files(path: str) -> list[str]:
+def _committed_files(
+    path: str, as_of: float | None = None, after: float | None = None
+) -> list[str]:
     """Data files to scan. Checkpoint layout: derived from the manifest's
-    committed run_ids (orphans from crashed runs are never listed). Flat
-    layout: a full directory listing (legacy path)."""
+    committed run_ids (orphans from crashed runs are never listed),
+    optionally snapshot-filtered (as_of/after). Flat layout: a full
+    directory listing (legacy path; snapshots need the manifest)."""
     root, manifest = _chunks_root(path)
     if manifest is not None:
-        return _run_files(root, _committed_runs(manifest))
+        return _run_files(root, _committed_runs(manifest, as_of, after))
+    if as_of is not None or after is not None:
+        raise ValueError(
+            "as_of/after need the checkpoint layout (<path>/manifest):"
+            " snapshots are defined by the manifest's committed_at"
+        )
     dataset = pa_ds.dataset(root, format="parquet", partitioning="hive")
     return sorted(f for f in dataset.files if f.endswith(".parquet"))
 
@@ -233,7 +261,7 @@ def _file_schema_entries(f: str) -> dict:
 
 
 def _discover_schema(
-    path: str,
+    path: str, as_of: float | None = None, after: float | None = None
 ) -> tuple[list[tuple[str, int, str]], dict[str, bool]]:
     """-> ([(column, col_idx, dtype)], nullable-by-column).
 
@@ -243,12 +271,17 @@ def _discover_schema(
     flat directories sweep all files (legacy)."""
     root, manifest = _chunks_root(path)
     if manifest is not None:
-        sidecars = _load_sidecars(manifest)
+        runs = _committed_runs(manifest, as_of, after)
+        sidecars = [
+            sc
+            for sc in _load_sidecars(manifest)
+            # version-0 sidecars carry no run_id: keep (schema superset)
+            if sc.get("run_id") is None or sc["run_id"] in set(runs)
+        ]
         if sidecars:
             return _merge_schema_entries(sidecars)
         # legacy checkpoint (no sidecars): schema is uniform within a run
         # (evolution happens between encode_to calls) — one file per run
-        runs = _committed_runs(manifest)
         sidecars = []
         for run in runs:
             files = _run_files(root, [run])
@@ -529,11 +562,15 @@ class ChunkTableReader(DataSourceReader):
         schema_cols: list[tuple[str, int, str]],
         requested: list[str] | None = None,
         nullable: dict[str, bool] | None = None,
+        as_of: float | None = None,
+        after: float | None = None,
     ):
         self._path = path
         self._schema_cols = schema_cols
         self._requested = requested
         self._nullable = nullable
+        self._as_of = as_of
+        self._after = after
         self._prune: _Node | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -543,7 +580,10 @@ class ChunkTableReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self):
-        return [_FilePartition(f) for f in _committed_files(self._path)]
+        return [
+            _FilePartition(f)
+            for f in _committed_files(self._path, self._as_of, self._after)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
         return _read_file(
@@ -786,12 +826,25 @@ class ChunkTableDataSource(DataSource):
     def name(cls) -> str:
         return "chunktable"
 
+    def _snapshot(self) -> tuple[float | None, float | None]:
+        """Optional snapshot options: .option("as_of", t) reads the table
+        exactly as a reader at time t saw it; .option("after", t) reads
+        only runs committed strictly after t (incremental consumption).
+        Same committed_at semantics — and single-writer wall-clock caveat
+        — as engine read_chunks; checkpoint layout only."""
+        as_of = self.options.get("as_of")
+        after = self.options.get("after")
+        return (
+            float(as_of) if as_of is not None else None,
+            float(after) if after is not None else None,
+        )
+
     def _resolve(self) -> tuple[str, list[tuple[str, int, str]], dict[str, bool]]:
         path = self.options.get("path")
         if not path:
             raise ValueError("chunktable needs a path: .load('/dir')")
         if not hasattr(self, "_schema_cache"):
-            self._schema_cache = _discover_schema(path)
+            self._schema_cache = _discover_schema(path, *self._snapshot())
         cols, nullable = self._schema_cache
         return path, cols, nullable
 
@@ -820,8 +873,10 @@ class ChunkTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ChunkTableReader:
         path, cols, nullable = self._resolve()
+        as_of, after = self._snapshot()
         return ChunkTableReader(
-            path, cols, requested=self._requested(cols), nullable=nullable
+            path, cols, requested=self._requested(cols), nullable=nullable,
+            as_of=as_of, after=after,
         )
 
     def streamReader(self, schema: StructType) -> ChunkTableStreamReader:

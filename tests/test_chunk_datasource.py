@@ -289,3 +289,40 @@ def test_datasource_writer_roundtrip(registered, spark, docs, tmp_path):
 
     with _pytest.raises(Exception, match="append"):
         first.write.format("chunktable").mode("overwrite").save(out)
+
+
+def test_datasource_snapshot_reads(registered, spark, tmp_path):
+    """as_of/after options: time travel and incremental consumption on
+    the SQL surface, with schema as-of the snapshot (a column added by a
+    later run is invisible under as_of before it)."""
+    import time as _time
+
+    out = str(tmp_path / "tt")
+    kw = dict(partition_cols=["g"], chunk_rows=64, n_buckets=2, n_salts=1)
+    b0 = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(30)], "k bigint, g string"
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(30, 50)],
+        "k bigint, g string, score double",
+    )
+    pes.encode_to(b0, out, dataset_id="b0", **kw)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    pes.encode_to(b1, out, dataset_id="b1", **kw)
+
+    full = registered.read.format("chunktable").load(out)
+    assert full.count() == 50 and "score" in full.columns
+    asof = (
+        registered.read.format("chunktable")
+        .option("as_of", str(t_between))
+        .load(out)
+    )
+    assert sorted(r["k"] for r in asof.collect()) == list(range(30))
+    assert "score" not in asof.columns  # schema as-of the snapshot
+    incr = (
+        registered.read.format("chunktable")
+        .option("after", str(t_between))
+        .load(out)
+    )
+    assert sorted(r["k"] for r in incr.collect()) == list(range(30, 50))
