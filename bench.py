@@ -290,7 +290,6 @@ def main() -> None:
 
     probe_state["best"] = probe_best
     run_probed("decode_verify_corpus", decode_verify)
-    corpus.unpersist()
 
     # --- driver-table queries (same set the correctness gate runs)
     qs = entry_mod.queries()
@@ -314,6 +313,8 @@ def main() -> None:
             run_probed(name, fns[name])
     extra["query_probes"] = query_probes
     extra["query_probe_best"] = round(probe_state["best"], 3)
+    # only now: a decode_verify rerun above still needs the cached corpus
+    corpus.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

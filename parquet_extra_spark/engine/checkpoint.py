@@ -181,10 +181,9 @@ def encode_to(
             "raw_bytes", "encoded_bytes", "committed_at", "dataset_id",
         )
     )
-    unit_rows.write.mode("append").parquet(_manifest_path(out_dir))
-
-    # commit-time footer: the data source plans schema from this sidecar
-    # without opening any data file
+    # commit-time footer FIRST: the manifest append below is the commit
+    # point, so a crash between the two leaves an invisible orphan sidecar
+    # — never a committed run whose schema contribution is missing
     from .schema import from_struct
 
     expected = encode_kwargs.get("expected_schema")
@@ -195,6 +194,7 @@ def encode_to(
     _write_schema_sidecar(
         spark, out_dir, run_id, dataset_id, from_struct(df.schema), required
     )
+    unit_rows.write.mode("append").parquet(_manifest_path(out_dir))
 
     m = load_manifest(spark, out_dir)
     done = m.agg(

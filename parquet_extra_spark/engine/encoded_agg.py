@@ -289,7 +289,11 @@ def _minmax_arrays(
         nan_in = np.zeros(m, dtype=bool)
         np.logical_or.at(nan_in, nn_codes, np.isnan(nn_vals))
         maxs[nan_in] = np.nan  # Spark: NaN is the largest value
-        all_nan = has & (mins == np.inf)
+        # a group is all-NaN only when NO non-NaN value was seen — testing
+        # mins == inf would misread a group whose true minimum IS +inf
+        non_nan_seen = np.zeros(m, dtype=bool)
+        np.logical_or.at(non_nan_seen, nn_codes, ~np.isnan(nn_vals))
+        all_nan = has & ~non_nan_seen
         mins[all_nan] = np.nan
         mk = lambda a: pa.array(a, type=pa.float64(), mask=~has).cast(val_t)
         return mk(mins), mk(maxs), has

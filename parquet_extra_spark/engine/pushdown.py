@@ -22,8 +22,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..codecs import typemap
 from .decoder import decode, discover_schema
 
+from .predicate import _ISIN_EXPAND_MAX  # single shared threshold
+
 _NUMERIC = typemap.INT_DTYPES | typemap.FLOAT_DTYPES
-_ISIN_EXPAND_MAX = 64  # shared threshold with predicate._ISIN_EXPAND_MAX
 
 
 def _typed_stat(col: Column, dtype: str) -> Column:

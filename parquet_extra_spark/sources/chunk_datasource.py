@@ -162,10 +162,12 @@ def _committed_runs(
     sequential writer per checkpoint dir; for incremental consumption
     under concurrent writers use the STREAM source (run-id-set offsets)."""
     want = ["run_id"] if as_of is None and after is None else ["run_id", "committed_at"]
-    try:
-        t = pq.read_table(manifest, columns=want)
-    except Exception:
+    # a manifest DIRECTORY that does not exist yet (stream started before
+    # the first commit) is legitimately empty; any other read failure
+    # (corrupt parquet, permissions) must SURFACE, not read as "no data"
+    if not any(f.endswith(".parquet") for f in _flat_listing(manifest)):
         return []
+    t = pq.read_table(manifest, columns=want)
     if as_of is None and after is None:
         return sorted(set(t.column("run_id").to_pylist()))
     runs: dict[str, float] = {}
@@ -272,18 +274,21 @@ def _discover_schema(
     root, manifest = _chunks_root(path)
     if manifest is not None:
         runs = _committed_runs(manifest, as_of, after)
+        run_set = set(runs)
         sidecars = [
             sc
             for sc in _load_sidecars(manifest)
             # version-0 sidecars carry no run_id: keep (schema superset)
-            if sc.get("run_id") is None or sc["run_id"] in set(runs)
+            if sc.get("run_id") is None or sc["run_id"] in run_set
         ]
-        if sidecars:
-            return _merge_schema_entries(sidecars)
-        # legacy checkpoint (no sidecars): schema is uniform within a run
-        # (evolution happens between encode_to calls) — one file per run
-        sidecars = []
+        covered = {sc["run_id"] for sc in sidecars if sc.get("run_id")}
+        # committed runs WITHOUT a sidecar (written by pre-sidecar code, or
+        # a legacy mixed checkpoint): schema is uniform within a run, so
+        # one data-file read per uncovered run recovers their columns —
+        # returning only the sidecar columns would silently hide them
         for run in runs:
+            if run in covered:
+                continue
             files = _run_files(root, [run])
             if files:
                 sidecars.append(_file_schema_entries(files[0]))
@@ -470,7 +475,14 @@ def _read_file(
     out_names = [c for c in names if requested is None or c in requested]
     file_schema = pq.read_schema(path)
     meta_want = [c for c in _META_COLS if c in file_schema.names]
-    meta_table = pq.read_table(path, columns=meta_want)
+    # full scans (no projection) read the file ONCE, payload included; a
+    # projected read splits into a payload-free meta pass (pruning stats
+    # for every column) + a payload pass row-filtered to the requested
+    # columns, so non-requested payload bytes never materialize
+    single_read = requested is None
+    meta_table = pq.read_table(
+        path, columns=meta_want + ["payload"] if single_read else meta_want
+    )
     n_rows = meta_table.num_rows
     meta = {
         # chunk tables persisted before a digest column existed read
@@ -493,10 +505,14 @@ def _read_file(
                 " written without a required field cannot satisfy the"
                 " declared schema (ParquetExampleTest.scala r5 contract)"
             )
-    # payload read, row-filtered to the columns being decoded: filter-only
-    # and non-requested columns never materialize payload bytes in memory
     payloads: dict[tuple[int, str], object] = {}
-    if decode_cols:
+    if single_read:
+        pay_col = meta_table.column("payload")
+        for i, (cid, col) in enumerate(zip(meta["chunk_id"], meta["column"])):
+            payloads[(cid, col)] = pay_col[i]
+    elif decode_cols:
+        # payload read, row-filtered to the columns being decoded: filter-
+        # only and non-requested columns never materialize payload bytes
         ptab = pq.read_table(
             path,
             columns=["chunk_id", "column", "payload"],
@@ -618,11 +634,14 @@ class ChunkTableStreamReader(DataSourceStreamReader):
         self._root = os.path.join(path, "chunks")
         self._manifest = os.path.join(path, "manifest")
         self._schema_cols = schema_cols
+        entries = _flat_listing(path)
         if not os.path.isdir(self._manifest) and any(
-            f.endswith(".parquet") for f in _flat_listing(path)
+            e != "chunks" for e in entries
         ):
-            # a FLAT chunk directory has no commit log to stream from; a
-            # fresh/empty checkpoint dir is fine (idles at the empty offset)
+            # a FLAT chunk directory (top-level parquet OR hive-partition
+            # subdirs) has no commit log to stream from. A fresh/empty dir
+            # — or one holding only a chunks/ dir whose first commit is
+            # still in flight — is fine: idle at the empty offset
             raise ValueError(
                 "chunktable streaming needs the checkpoint layout"
                 " (<path>/manifest): the manifest's committed runs are the"
@@ -675,6 +694,7 @@ class _WriteMessage(WriterCommitMessage):
     n_values: int
     raw_bytes: int
     encoded_bytes: int
+    file: "str | None" = None
 
 
 class ChunkTableArrowWriter(DataSourceArrowWriter):
@@ -718,14 +738,25 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
         from ..engine.chunk import CHUNK_ARROW_SCHEMA, schema_fingerprint
         from ..engine.encoder import _chunk_rows_batch
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         part_key = f"w{pid}"
         columns = [c for c, _, _ in self._schema_cols]
         dtypes = {c: d for c, _, d in self._schema_cols}
-        schema_fp = schema_fingerprint(columns, self._dataset_id)
+        # chunk ids are namespaced by the RUN, not just the dataset_id:
+        # with the default dataset_id two appends to the same dir would
+        # otherwise mint identical chunk_uid(part_key, salt, seq) values
+        # across runs and corrupt every engine-side read of the table
+        namespace = f"{self._dataset_id}|{self._run_id}"
+        schema_fp = schema_fingerprint(columns, namespace)
         run_dir = os.path.join(self._path, "chunks", f"run_id={self._run_id}")
         os.makedirs(run_dir, exist_ok=True)
-        out_path = os.path.join(run_dir, f"part-{pid:05d}.parquet")
+        # attempt id in the name: a speculative/zombie attempt of the same
+        # partition must never interleave into the winner's file; commit()
+        # removes every file not named by a winning message
+        out_path = os.path.join(
+            run_dir, f"part-{pid:05d}-{ctx.taskAttemptId()}.parquet"
+        )
 
         memo: dict = {}
         seq = 0
@@ -738,7 +769,7 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
             nonlocal seq, writer
             batch = _chunk_rows_batch(
                 part_key, 0, seq, table, columns, dtypes, None, memo,
-                sort_cols=self._sort_cols, uid_namespace=self._dataset_id,
+                sort_cols=self._sort_cols, uid_namespace=namespace,
                 schema_fp=schema_fp,
             )
             seq += 1
@@ -769,12 +800,36 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
         return _WriteMessage(
             part_key, stats["n_chunks"], stats["n_values"],
             stats["raw"], stats["enc"],
+            os.path.basename(out_path) if writer is not None else None,
         )
 
     def commit(self, messages) -> None:
         manifest_dir = os.path.join(self._path, "manifest")
         os.makedirs(manifest_dir, exist_ok=True)
         rows = [m for m in messages if m is not None and m.n_chunks > 0]
+        # drop files of losing task attempts (speculation/zombies): only
+        # the winners' files may be visible once the run commits
+        run_dir = os.path.join(self._path, "chunks", f"run_id={self._run_id}")
+        winners = {m.file for m in rows if m.file}
+        if os.path.isdir(run_dir):
+            for f in os.listdir(run_dir):
+                if f.endswith(".parquet") and f not in winners:
+                    try:
+                        os.remove(os.path.join(run_dir, f))
+                    except OSError:
+                        pass
+        # schema sidecar FIRST: the manifest append is the commit point, so
+        # a crash between the two must leave an (invisible, harmless)
+        # orphan sidecar — never a committed run without its schema
+        sidecar = os.path.join(
+            manifest_dir, f"{SCHEMA_SIDECAR_PREFIX}{self._run_id}.json"
+        )
+        with open(sidecar, "w", encoding="utf-8") as fh:
+            fh.write(
+                schema_sidecar_json(
+                    self._schema_cols, self._run_id, self._dataset_id
+                )
+            )
         committed_at = time.time()
         table = pa.table(
             {
@@ -794,15 +849,6 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
         pq.write_table(
             table, os.path.join(manifest_dir, f"part-w-{self._run_id}.parquet")
         )
-        sidecar = os.path.join(
-            manifest_dir, f"{SCHEMA_SIDECAR_PREFIX}{self._run_id}.json"
-        )
-        with open(sidecar, "w", encoding="utf-8") as fh:
-            fh.write(
-                schema_sidecar_json(
-                    self._schema_cols, self._run_id, self._dataset_id
-                )
-            )
 
     def abort(self, messages) -> None:
         import shutil

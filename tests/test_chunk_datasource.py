@@ -326,3 +326,25 @@ def test_datasource_snapshot_reads(registered, spark, tmp_path):
         .load(out)
     )
     assert sorted(r["k"] for r in incr.collect()) == list(range(30, 50))
+
+
+def test_writer_default_appends_do_not_collide(registered, spark, tmp_path):
+    """Two appends with DEFAULT options must mint distinct chunk ids
+    (namespaced by run): the engine-side decode and the encoded aggregates
+    would otherwise see duplicate chunk_id groups."""
+    out = str(tmp_path / "dflt")
+    df1 = spark.createDataFrame([(i, "a") for i in range(40)], "k bigint, g string")
+    df2 = spark.createDataFrame([(i, "b") for i in range(40, 80)], "k bigint, g string")
+    df1.repartition(2).write.format("chunktable").mode("append").option(
+        "chunk_rows", "16"
+    ).save(out)
+    df2.repartition(2).write.format("chunktable").mode("append").option(
+        "chunk_rows", "16"
+    ).save(out)
+    got = registered.read.format("chunktable").load(out)
+    assert sorted(r["k"] for r in got.collect()) == list(range(80))
+    eng = pes.read_chunks(spark, out)
+    dec = pes.decode(eng)  # raises ChunkDecodeError on id collisions
+    assert sorted(r["k"] for r in dec.collect()) == list(range(80))
+    counts = {r["value"]: r["cnt"] for r in pes.value_counts_encoded(eng, "g").collect()}
+    assert counts == {"a": 40, "b": 40}

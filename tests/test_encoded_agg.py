@@ -252,3 +252,20 @@ def test_colocated_matches_and_skips_exchange(docs, doc_chunks):
     # the default path DOES repartition payload rows (safety for unknown
     # layouts) — pins that colocated=True is what removes it
     assert "Exchange" in _below_map(group_sum_encoded(doc_chunks, "lang", "n_chars"))
+
+
+def test_group_stats_float_infinity_group(spark):
+    """A group whose only value is +inf must report min = max = Infinity,
+    not NaN (the all-NaN test must not key off the +inf sentinel)."""
+    import math
+
+    rows = [("a", float("inf")), ("b", 1.0), ("c", float("nan"))]
+    df = spark.createDataFrame(rows, "k string, v double")
+    chunks = pes.encode(df, chunk_rows=8, n_buckets=1, n_salts=1)
+    got = {
+        r["key"]: (r["mn"], r["mx"])
+        for r in group_stats_encoded(chunks, "k", "v").collect()
+    }
+    assert got["a"] == (float("inf"), float("inf"))
+    assert got["b"] == (1.0, 1.0)
+    assert math.isnan(got["c"][0]) and math.isnan(got["c"][1])
