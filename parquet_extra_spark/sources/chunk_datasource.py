@@ -79,6 +79,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -182,16 +183,31 @@ def _committed_runs(
     )
 
 
-def _run_files(root: str, runs: list[str]) -> list[str]:
+FILES_SIDECAR_PREFIX = "_files-"
+
+
+def _run_files(root: str, runs: list[str], manifest: str | None = None) -> list[str]:
     """Data files of the given committed runs — one directory listing per
-    run, no full-dataset walk (the manifest IS the file index)."""
+    run, no full-dataset walk (the manifest IS the file index). When the
+    commit recorded a ``_files-<run_id>.json`` winners sidecar (the SQL
+    writers do), only those files are read: files left behind by losing
+    task attempts or replayed micro-batches are never visible."""
     files = []
     for run in runs:
         run_dir = os.path.join(root, f"run_id={run}")
-        if os.path.isdir(run_dir):
-            for f in sorted(os.listdir(run_dir)):
-                if f.endswith(".parquet"):
-                    files.append(os.path.join(run_dir, f))
+        if not os.path.isdir(run_dir):
+            continue
+        names: list[str] | None = None
+        if manifest is not None:
+            sidecar = os.path.join(manifest, f"{FILES_SIDECAR_PREFIX}{run}.json")
+            if os.path.isfile(sidecar):
+                with open(sidecar, "r", encoding="utf-8") as fh:
+                    names = sorted(json.load(fh)["files"])
+        if names is None:
+            names = sorted(
+                f for f in os.listdir(run_dir) if f.endswith(".parquet")
+            )
+        files.extend(os.path.join(run_dir, f) for f in names)
     return files
 
 
@@ -204,7 +220,7 @@ def _committed_files(
     directory listing (legacy path; snapshots need the manifest)."""
     root, manifest = _chunks_root(path)
     if manifest is not None:
-        return _run_files(root, _committed_runs(manifest, as_of, after))
+        return _run_files(root, _committed_runs(manifest, as_of, after), manifest)
     if as_of is not None or after is not None:
         raise ValueError(
             "as_of/after need the checkpoint layout (<path>/manifest):"
@@ -675,7 +691,10 @@ class ChunkTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         new_runs = sorted(self._runs_of(end) - self._runs_of(start))
-        return [_FilePartition(f) for f in _run_files(self._root, new_runs)]
+        return [
+            _FilePartition(f)
+            for f in _run_files(self._root, new_runs, self._manifest)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
         return _read_file(partition.path, self._schema_cols, None)
@@ -697,6 +716,118 @@ class _WriteMessage(WriterCommitMessage):
     file: "str | None" = None
 
 
+def _encode_partition_to_file(
+    iterator: Iterator[pa.RecordBatch],
+    schema_cols: list[tuple[str, int, str]],
+    chunk_rows: int,
+    sort_cols: list[str] | None,
+    namespace: str,
+    part_key: str,
+    out_path: str,
+) -> dict:
+    """Encode one write task's record batches into ONE chunk-table parquet
+    file with the engine's chunk kernel (encoder._chunk_rows_batch: stats,
+    codec auto-selection, membership digests). Shared by the batch and
+    streaming SQL writers. Creates the file only if any row arrived;
+    returns {n_chunks, n_values, raw, enc, written}."""
+    from ..engine.chunk import CHUNK_ARROW_SCHEMA, schema_fingerprint
+    from ..engine.encoder import _chunk_rows_batch
+
+    columns = [c for c, _, _ in schema_cols]
+    dtypes = {c: d for c, _, d in schema_cols}
+    schema_fp = schema_fingerprint(columns, namespace)
+    memo: dict = {}
+    seq = 0
+    stats = {"n_chunks": 0, "n_values": 0, "raw": 0, "enc": 0, "written": False}
+    writer: "pq.ParquetWriter | None" = None
+    pending: list[pa.Table] = []
+    pending_rows = 0
+
+    def flush(table: pa.Table):
+        nonlocal seq, writer
+        batch = _chunk_rows_batch(
+            part_key, 0, seq, table, columns, dtypes, None, memo,
+            sort_cols=sort_cols, uid_namespace=namespace, schema_fp=schema_fp,
+        )
+        seq += 1
+        if writer is None:
+            writer = pq.ParquetWriter(out_path, CHUNK_ARROW_SCHEMA, compression="zstd")
+        writer.write_batch(batch)
+        stats["n_chunks"] += 1
+        # col_idx 0 carries the chunk's row count once per chunk
+        stats["n_values"] += batch.column("n_values")[0].as_py()
+        stats["raw"] += sum(batch.column("raw_bytes").to_pylist())
+        stats["enc"] += sum(batch.column("encoded_bytes").to_pylist())
+
+    for rb in iterator:
+        t = pa.Table.from_batches([rb]).select(columns)
+        pending.append(t)
+        pending_rows += len(t)
+        while pending_rows >= chunk_rows:
+            merged = pa.concat_tables(pending)
+            flush(merged.slice(0, chunk_rows))
+            tail = merged.slice(chunk_rows)
+            pending, pending_rows = ([tail] if len(tail) else []), len(tail)
+    if pending_rows:
+        flush(pa.concat_tables(pending))
+    if writer is not None:
+        writer.close()
+        stats["written"] = True
+    return stats
+
+
+def _commit_run(
+    path: str,
+    run_id: str,
+    dataset_id: str,
+    schema_cols: list[tuple[str, int, str]],
+    rows: list,
+    winners: list[str],
+) -> None:
+    """The shared driver-side commit: prune the run dir to the winning
+    files, persist the schema + file-list sidecars, THEN append the
+    manifest parquet (the commit point — a crash mid-sequence leaves only
+    invisible orphans, never a half-described committed run)."""
+    manifest_dir = os.path.join(path, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    run_dir = os.path.join(path, "chunks", f"run_id={run_id}")
+    keep = set(winners)
+    if os.path.isdir(run_dir):
+        # drop files of losing task attempts (speculation/zombies): only
+        # the winners' files may be visible once the run commits
+        for f in os.listdir(run_dir):
+            if f.endswith(".parquet") and f not in keep:
+                try:
+                    os.remove(os.path.join(run_dir, f))
+                except OSError:
+                    pass
+    with open(
+        os.path.join(manifest_dir, f"{SCHEMA_SIDECAR_PREFIX}{run_id}.json"),
+        "w", encoding="utf-8",
+    ) as fh:
+        fh.write(schema_sidecar_json(schema_cols, run_id, dataset_id))
+    with open(
+        os.path.join(manifest_dir, f"{FILES_SIDECAR_PREFIX}{run_id}.json"),
+        "w", encoding="utf-8",
+    ) as fh:
+        json.dump({"run_id": run_id, "files": sorted(winners)}, fh)
+    committed_at = time.time()
+    table = pa.table(
+        {
+            "part_key": pa.array([m.part_key for m in rows], pa.string()),
+            "salt": pa.array([0] * len(rows), pa.int32()),
+            "run_id": pa.array([run_id] * len(rows), pa.string()),
+            "n_chunks": pa.array([m.n_chunks for m in rows], pa.int64()),
+            "n_values": pa.array([m.n_values for m in rows], pa.int64()),
+            "raw_bytes": pa.array([m.raw_bytes for m in rows], pa.int64()),
+            "encoded_bytes": pa.array([m.encoded_bytes for m in rows], pa.int64()),
+            "committed_at": pa.array([committed_at] * len(rows), pa.float64()),
+            "dataset_id": pa.array([dataset_id] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(manifest_dir, f"part-w-{run_id}.parquet"))
+
+
 class ChunkTableArrowWriter(DataSourceArrowWriter):
     """``df.write.format("chunktable").mode("append").save(dir)`` — the
     engine's commit protocol (chunks first, manifest row = commit point)
@@ -704,17 +835,16 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
     (ExampleParquetOutputFormat.java:7-14).
 
     Each write task encodes ITS partition's rows as one work unit
-    (part_key = "w<partitionId>", salt 0) with the same pure-Python chunk
-    kernel the engine uses (encoder._chunk_rows_batch — stats, codec
-    auto-selection, membership digests), writing one parquet file under
-    ``chunks/run_id=<id>/``. ``commit`` (driver side) then appends one
-    manifest parquet file plus the schema sidecar — readers see all-or-
-    nothing. Partitioning/clustering is the CALLER's: repartition before
-    writing to cluster (the writer cannot shuffle). Options:
-    ``chunk_rows``, ``sort_cols`` (in-chunk columnar sort, comma list),
-    ``dataset_id``. Local/NFS paths only (same constraint as the reader);
-    a task failure before commit leaves an orphan run dir that stays
-    invisible and is reclaimed by vacuum_checkpoint."""
+    (part_key = "w<partitionId>", salt 0) with the engine's chunk kernel,
+    writing one parquet file under ``chunks/run_id=<id>/``; ``commit``
+    (driver side) prunes losing attempts, persists the schema/file-list
+    sidecars, then appends the manifest row — readers see all-or-nothing.
+    Partitioning/clustering is the CALLER's: repartition before writing
+    to cluster (the writer cannot shuffle). Options: ``chunk_rows``,
+    ``sort_cols`` (in-chunk columnar sort, comma list), ``dataset_id``.
+    Local/NFS paths only (same constraint as the reader); a task failure
+    before commit leaves an orphan run dir that stays invisible and is
+    reclaimed by vacuum_checkpoint."""
 
     def __init__(
         self,
@@ -735,119 +865,34 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _WriteMessage:
         from pyspark import TaskContext
 
-        from ..engine.chunk import CHUNK_ARROW_SCHEMA, schema_fingerprint
-        from ..engine.encoder import _chunk_rows_batch
-
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        part_key = f"w{pid}"
-        columns = [c for c, _, _ in self._schema_cols]
-        dtypes = {c: d for c, _, d in self._schema_cols}
         # chunk ids are namespaced by the RUN, not just the dataset_id:
         # with the default dataset_id two appends to the same dir would
         # otherwise mint identical chunk_uid(part_key, salt, seq) values
         # across runs and corrupt every engine-side read of the table
         namespace = f"{self._dataset_id}|{self._run_id}"
-        schema_fp = schema_fingerprint(columns, namespace)
         run_dir = os.path.join(self._path, "chunks", f"run_id={self._run_id}")
         os.makedirs(run_dir, exist_ok=True)
         # attempt id in the name: a speculative/zombie attempt of the same
         # partition must never interleave into the winner's file; commit()
         # removes every file not named by a winning message
-        out_path = os.path.join(
-            run_dir, f"part-{pid:05d}-{ctx.taskAttemptId()}.parquet"
+        name = f"part-{pid:05d}-{ctx.taskAttemptId()}.parquet"
+        st = _encode_partition_to_file(
+            iterator, self._schema_cols, self._chunk_rows, self._sort_cols,
+            namespace, f"w{pid}", os.path.join(run_dir, name),
         )
-
-        memo: dict = {}
-        seq = 0
-        stats = {"n_chunks": 0, "n_values": 0, "raw": 0, "enc": 0}
-        writer: pq.ParquetWriter | None = None
-        pending: list[pa.Table] = []
-        pending_rows = 0
-
-        def flush(table: pa.Table):
-            nonlocal seq, writer
-            batch = _chunk_rows_batch(
-                part_key, 0, seq, table, columns, dtypes, None, memo,
-                sort_cols=self._sort_cols, uid_namespace=namespace,
-                schema_fp=schema_fp,
-            )
-            seq += 1
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    out_path, CHUNK_ARROW_SCHEMA, compression="zstd"
-                )
-            writer.write_batch(batch)
-            stats["n_chunks"] += 1
-            # col_idx 0 carries the chunk's row count once per chunk
-            stats["n_values"] += batch.column("n_values")[0].as_py()
-            stats["raw"] += sum(batch.column("raw_bytes").to_pylist())
-            stats["enc"] += sum(batch.column("encoded_bytes").to_pylist())
-
-        for rb in iterator:
-            t = pa.Table.from_batches([rb]).select(columns)
-            pending.append(t)
-            pending_rows += len(t)
-            while pending_rows >= self._chunk_rows:
-                merged = pa.concat_tables(pending)
-                flush(merged.slice(0, self._chunk_rows))
-                tail = merged.slice(self._chunk_rows)
-                pending, pending_rows = ([tail] if len(tail) else []), len(tail)
-        if pending_rows:
-            flush(pa.concat_tables(pending))
-        if writer is not None:
-            writer.close()
         return _WriteMessage(
-            part_key, stats["n_chunks"], stats["n_values"],
-            stats["raw"], stats["enc"],
-            os.path.basename(out_path) if writer is not None else None,
+            f"w{pid}", st["n_chunks"], st["n_values"], st["raw"], st["enc"],
+            name if st["written"] else None,
         )
 
     def commit(self, messages) -> None:
-        manifest_dir = os.path.join(self._path, "manifest")
-        os.makedirs(manifest_dir, exist_ok=True)
         rows = [m for m in messages if m is not None and m.n_chunks > 0]
-        # drop files of losing task attempts (speculation/zombies): only
-        # the winners' files may be visible once the run commits
-        run_dir = os.path.join(self._path, "chunks", f"run_id={self._run_id}")
-        winners = {m.file for m in rows if m.file}
-        if os.path.isdir(run_dir):
-            for f in os.listdir(run_dir):
-                if f.endswith(".parquet") and f not in winners:
-                    try:
-                        os.remove(os.path.join(run_dir, f))
-                    except OSError:
-                        pass
-        # schema sidecar FIRST: the manifest append is the commit point, so
-        # a crash between the two must leave an (invisible, harmless)
-        # orphan sidecar — never a committed run without its schema
-        sidecar = os.path.join(
-            manifest_dir, f"{SCHEMA_SIDECAR_PREFIX}{self._run_id}.json"
-        )
-        with open(sidecar, "w", encoding="utf-8") as fh:
-            fh.write(
-                schema_sidecar_json(
-                    self._schema_cols, self._run_id, self._dataset_id
-                )
-            )
-        committed_at = time.time()
-        table = pa.table(
-            {
-                "part_key": pa.array([m.part_key for m in rows], pa.string()),
-                "salt": pa.array([0] * len(rows), pa.int32()),
-                "run_id": pa.array([self._run_id] * len(rows), pa.string()),
-                "n_chunks": pa.array([m.n_chunks for m in rows], pa.int64()),
-                "n_values": pa.array([m.n_values for m in rows], pa.int64()),
-                "raw_bytes": pa.array([m.raw_bytes for m in rows], pa.int64()),
-                "encoded_bytes": pa.array(
-                    [m.encoded_bytes for m in rows], pa.int64()
-                ),
-                "committed_at": pa.array([committed_at] * len(rows), pa.float64()),
-                "dataset_id": pa.array([self._dataset_id] * len(rows), pa.string()),
-            }
-        )
-        pq.write_table(
-            table, os.path.join(manifest_dir, f"part-w-{self._run_id}.parquet")
+        winners = [m.file for m in rows if m.file]
+        _commit_run(
+            self._path, self._run_id, self._dataset_id, self._schema_cols,
+            rows, winners,
         )
 
     def abort(self, messages) -> None:
@@ -857,6 +902,100 @@ class ChunkTableArrowWriter(DataSourceArrowWriter):
             os.path.join(self._path, "chunks", f"run_id={self._run_id}"),
             ignore_errors=True,
         )  # uncommitted data is invisible anyway; this just reclaims bytes
+
+
+class ChunkTableStreamArrowWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("chunktable")`` — the streaming sink half
+    of the SQL surface, exactly-once per micro-batch:
+
+    write tasks cannot know the batch id (the API only passes it to
+    commit/abort), so they encode into ``chunks/.staging/<nonce>.parquet``
+    (dot-prefixed: invisible to every reader) with the random nonce as the
+    chunk-id namespace; ``commit(batchId)`` then moves the winning files
+    into ``chunks/run_id=sb-<sink_id>-<batchId>/`` and runs the shared
+    commit sequence. The run id is DETERMINISTIC per (sink_id, batchId),
+    so a replayed micro-batch (crash between the sink commit and Spark's
+    offset commit) finds its manifest file already present, discards its
+    re-staged files, and commits nothing twice; the file-list sidecar
+    keeps any leftover duplicates invisible to readers. Two different
+    streaming queries appending to one directory must set distinct
+    ``sink_id`` options (same run-id namespace rule as dataset_id)."""
+
+    def __init__(
+        self,
+        path: str,
+        schema_cols: list[tuple[str, int, str]],
+        chunk_rows: int,
+        sort_cols: list[str] | None,
+        dataset_id: str,
+        sink_id: str,
+    ):
+        self._path = path
+        self._schema_cols = schema_cols
+        self._chunk_rows = chunk_rows
+        self._sort_cols = sort_cols
+        self._dataset_id = dataset_id
+        self._sink_id = sink_id
+
+    def _staging(self) -> str:
+        return os.path.join(self._path, "chunks", ".staging")
+
+    def _batch_run_id(self, batchId: int) -> str:
+        return f"sb-{self._sink_id}-{batchId:010d}"
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _WriteMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._staging(), exist_ok=True)
+        nonce = uuid.uuid4().hex  # unique chunk-id namespace per attempt
+        name = f"{nonce}.parquet"
+        st = _encode_partition_to_file(
+            iterator, self._schema_cols, self._chunk_rows, self._sort_cols,
+            nonce, f"w{pid}", os.path.join(self._staging(), name),
+        )
+        return _WriteMessage(
+            f"w{pid}", st["n_chunks"], st["n_values"], st["raw"], st["enc"],
+            name if st["written"] else None,
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        run_id = self._batch_run_id(batchId)
+        rows = [m for m in messages if m is not None and m.n_chunks > 0]
+        staged = [m.file for m in rows if m.file]
+        marker = os.path.join(
+            self._path, "manifest", f"part-w-{run_id}.parquet"
+        )
+        if os.path.isfile(marker):
+            # replayed batch, already committed: drop this attempt's files
+            for f in staged:
+                try:
+                    os.remove(os.path.join(self._staging(), f))
+                except OSError:
+                    pass
+            return
+        run_dir = os.path.join(self._path, "chunks", f"run_id={run_id}")
+        os.makedirs(run_dir, exist_ok=True)
+        winners = []
+        for i, f in enumerate(staged):
+            dst = f"part-{i:05d}.parquet"
+            os.replace(
+                os.path.join(self._staging(), f), os.path.join(run_dir, dst)
+            )
+            winners.append(dst)
+        _commit_run(
+            self._path, run_id,
+            f"{self._dataset_id}|b{batchId}" if self._dataset_id else f"b{batchId}",
+            self._schema_cols, rows, winners,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self._staging(), m.file))
+                except OSError:
+                    pass
 
 
 class ChunkTableDataSource(DataSource):
@@ -964,4 +1103,35 @@ class ChunkTableDataSource(DataSource):
             chunk_rows=int(self.options.get("chunk_rows", 65536)),
             sort_cols=sort_cols,
             dataset_id=self.options.get("dataset_id", ""),
+        )
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> ChunkTableStreamArrowWriter:
+        from ..engine.schema import from_struct
+
+        if overwrite:
+            raise ValueError(
+                "chunktable is append-only (the manifest is the commit log);"
+                " use outputMode('append')"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("chunktable needs a path: .start('/dir')")
+        sort_opt = self.options.get("sort_cols")
+        sort_cols = (
+            [c.strip() for c in sort_opt.split(",") if c.strip()] if sort_opt else None
+        )
+        schema_cols = from_struct(schema)
+        known = {c for c, _, _ in schema_cols}
+        bad = [c for c in (sort_cols or []) if c not in known]
+        if bad:
+            raise ValueError(f"sort_cols references unknown columns: {bad}")
+        return ChunkTableStreamArrowWriter(
+            path,
+            schema_cols=schema_cols,
+            chunk_rows=int(self.options.get("chunk_rows", 65536)),
+            sort_cols=sort_cols,
+            dataset_id=self.options.get("dataset_id", ""),
+            sink_id=self.options.get("sink_id", "q"),
         )

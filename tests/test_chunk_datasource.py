@@ -348,3 +348,100 @@ def test_writer_default_appends_do_not_collide(registered, spark, tmp_path):
     assert sorted(r["k"] for r in dec.collect()) == list(range(80))
     counts = {r["value"]: r["cnt"] for r in pes.value_counts_encoded(eng, "g").collect()}
     assert counts == {"a": 40, "b": 40}
+
+
+def _run_sink_stream(spark, land, out, ckpt):
+    q = (
+        spark.readStream.schema("k bigint, g string")
+        .parquet(land)
+        .writeStream.format("chunktable")
+        .option("path", out)
+        .option("chunk_rows", "32")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+
+def test_stream_sink_writes_chunktable(registered, spark, tmp_path):
+    """df.writeStream.format("chunktable"): each micro-batch commits as
+    one manifest run; reads (SQL + engine) see exactly the committed
+    rows across multiple stream executions."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)], "k bigint, g string"
+    ).write.parquet(land)
+    _run_sink_stream(spark, land, out, ckpt)
+    got = registered.read.format("chunktable").load(out)
+    assert sorted(r["k"] for r in got.collect()) == list(range(60))
+    # second landing file -> second stream execution -> second batch
+    spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60, 90)], "k bigint, g string"
+    ).write.mode("append").parquet(land)
+    _run_sink_stream(spark, land, out, ckpt)
+    got2 = registered.read.format("chunktable").load(out)
+    assert sorted(r["k"] for r in got2.collect()) == list(range(90))
+    # engine-side read + decode agrees (distinct chunk ids across batches)
+    dec = pes.decode(pes.read_chunks(spark, out))
+    assert sorted(r["k"] for r in dec.collect()) == list(range(90))
+    # and the chunktable STREAM READER can consume the sink's output
+    sink2 = str(tmp_path / "sink2")
+    ck2 = str(tmp_path / "ck2")
+    q = (
+        registered.readStream.format("chunktable")
+        .load(out)
+        .writeStream.format("parquet")
+        .option("path", sink2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["k"] for r in spark.read.parquet(sink2).select("k").collect()
+    ) == list(range(90))
+
+
+def test_stream_sink_commit_is_idempotent(registered, spark, tmp_path):
+    """A replayed micro-batch (same batchId) must not duplicate data: the
+    deterministic run id finds its manifest file already present and the
+    re-staged files are discarded."""
+    import pyarrow as pa
+
+    from parquet_extra_spark.sources.chunk_datasource import (
+        ChunkTableStreamArrowWriter,
+        _encode_partition_to_file,
+        _WriteMessage,
+    )
+
+    out = str(tmp_path / "enc")
+    schema_cols = [("k", 0, "bigint"), ("g", 1, "string")]
+    w = ChunkTableStreamArrowWriter(out, schema_cols, 32, None, "", "q")
+
+    def stage(nonce):
+        os.makedirs(w._staging(), exist_ok=True)
+        batch = pa.RecordBatch.from_pydict(
+            {"k": pa.array(list(range(20)), pa.int64()),
+             "g": pa.array(["a"] * 20, pa.string())}
+        )
+        st = _encode_partition_to_file(
+            iter([batch]), schema_cols, 32, None, nonce, "w0",
+            os.path.join(w._staging(), f"{nonce}.parquet"),
+        )
+        return _WriteMessage(
+            "w0", st["n_chunks"], st["n_values"], st["raw"], st["enc"],
+            f"{nonce}.parquet",
+        )
+
+    w.commit([stage("aaa")], 0)
+    n1 = registered.read.format("chunktable").load(out).count()
+    # replay of batch 0 (crash before the offset commit): re-staged file,
+    # same batchId — nothing may be duplicated, staging must be drained
+    w.commit([stage("bbb")], 0)
+    n2 = registered.read.format("chunktable").load(out).count()
+    assert (n1, n2) == (20, 20)
+    assert os.listdir(os.path.join(out, "chunks", ".staging")) == []
