@@ -698,6 +698,28 @@ def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-'p%' pushdown through the chunktable data source: Catalyst
+    translates .startswith to a StringStartsWith source filter, which the
+    source prunes as the [p, successor(p)) stats range — sound under the
+    truncated-min / unbounded-max storage rules — while Spark re-applies
+    the predicate exactly on decoded rows."""
+    import os as _os
+
+    from parquet_extra_spark.sources import ChunkTableDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ChunkTableDataSource)
+    docs = _docs(spark, sf_dir)
+    out = f"/tmp/pes_ct_prefix_{_os.path.basename(sf_dir.rstrip('/'))}"
+    pes.encode(docs, **_DOC_ENCODE).write.mode("overwrite").parquet(out)
+    return (
+        spark.read.format("chunktable")
+        .load(out)
+        .filter(F.col("source").startswith("src1") & (F.col("lang") == "en"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -744,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_after_delete": q_roundtrip_after_delete,
         "merge_upsert": q_merge_upsert,
         "datasource_filter": q_datasource_filter,
+        "datasource_prefix": q_datasource_prefix,
         "encoded_group_stats": q_encoded_group_stats,
         "encoded_group_sum_float": q_encoded_group_sum_float,
         "datasource_projection": q_datasource_projection,
@@ -1053,6 +1076,10 @@ def oracle_sql() -> dict[str, str]:
         "datasource_filter": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE lang = 'en' AND n_chars > 200"
+        ),
+        "datasource_prefix": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE source LIKE 'src1%' AND lang = 'en'"
         ),
         "roundtrip_after_delete": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

@@ -70,6 +70,14 @@ class IsIn(Pred):
 
 
 @dataclass(frozen=True)
+class Prefix(Pred):
+    """col LIKE 'value%' — prefix match, prunable as the half-open range
+    [value, prefix_successor(value)) on string chunk stats."""
+    column: str
+    value: str
+
+
+@dataclass(frozen=True)
 class IsNull(Pred):
     column: str
 
@@ -145,6 +153,16 @@ class P:
         return IsIn(c, tuple(vals))
 
     @staticmethod
+    def startswith(c, prefix):
+        """col LIKE 'prefix%'. The empty prefix matches every non-null
+        string (SQL startswith semantics), so it lowers to NOT NULL."""
+        if not isinstance(prefix, str):
+            raise TypeError(
+                f"P.startswith({c!r}, {prefix!r}): prefix must be a str"
+            )
+        return Prefix(c, prefix) if prefix else NotNull(c)
+
+    @staticmethod
     def is_null(c):
         return IsNull(c)
 
@@ -157,8 +175,18 @@ class P:
     not_ = staticmethod(lambda p: Not(p))
 
 
+def prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p`` (the
+    exclusive upper bound of the LIKE 'p%' range), or None when every
+    code point is already U+10FFFF (then s >= p  <=>  s startswith p)."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
 def referenced_columns(pred: Pred) -> set[str]:
-    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull)):
+    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix)):
         return {pred.column}
     if isinstance(pred, (And, Or)):
         return referenced_columns(pred.left) | referenced_columns(pred.right)
@@ -178,6 +206,8 @@ def to_spark(pred: Pred) -> Column:
         }[pred.op]
     if isinstance(pred, IsIn):
         return F.col(f"`{pred.column}`").isin(list(pred.values))
+    if isinstance(pred, Prefix):
+        return F.col(f"`{pred.column}`").startswith(F.lit(pred.value))
     if isinstance(pred, IsNull):
         return F.col(f"`{pred.column}`").isNull()
     if isinstance(pred, NotNull):
@@ -487,6 +517,29 @@ def _eval_stats(
             return F.lit(False), F.lit(False)
         possible = reduce(lambda a, b: a | b, (p for p, _ in parts))
         certain = reduce(lambda a, b: a | b, (c for _, c in parts))
+        return possible, certain
+    if isinstance(pred, Prefix):
+        c, dtype = pred.column, dtypes[pred.column]
+        mn, mx, nc, nv, _, _ = _stat_cols(c, dtype)
+        has_non_null, no_nulls = nc < nv, nc == F.lit(0)
+        if dtype != "string":
+            # prefix match is a string predicate; on any other dtype the
+            # stats lane is not comparable — keep (sound), never certain
+            return has_non_null, F.lit(False)
+        p = F.lit(pred.value)
+        succ = prefix_successor(pred.value)
+        # possible: [min,max] intersects [p, succ). A match s satisfies
+        # p <= s < succ, so stored max (exact when present) >= p and the
+        # stored min — a truncated PREFIX of the true min, hence a lower
+        # bound — < succ. certain: stored_mn >= p implies true_mn >= p
+        # (true >= stored), and exact mx < succ bounds the top; when succ
+        # is None (all-U+10FFFF prefix), s >= p alone proves the prefix.
+        possible = has_non_null & (mx.isNull() | (mx >= p))
+        certain = no_nulls & mn.isNotNull() & (mn >= p)
+        if succ is not None:
+            s = F.lit(succ)
+            possible = possible & (mn.isNull() | (mn < s))
+            certain = certain & mx.isNotNull() & (mx < s)
         return possible, certain
     if isinstance(pred, IsNull):
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])

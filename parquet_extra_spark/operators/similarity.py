@@ -63,12 +63,29 @@ def cosine_pairs_exact(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
+    max_rows_unblocked: int = 100_000,
 ) -> DataFrame:
     """-> (id_a, id_b, cosine): EXACT all-pairs cosine above threshold.
     The oracle baseline for cosine_pairs_lsh / embedding_near_dups — at
     corpus scale the LSH-bucketed variant replaces the quadratic join;
     this one is for verification and small reference sets. The self
-    cross-join broadcasts the smaller projected side (id + vector only)."""
+    cross-join broadcasts the smaller projected side (id + vector only).
+
+    Quadratic guard (same contract as dedup.ngram_jaccard_exact): above
+    ``max_rows_unblocked`` rows the call errors unless
+    ``allow_quadratic=True`` — a corpus-sized input must go through
+    cosine_pairs_lsh / ivf_topk_chunks instead of silently launching an
+    n^2 cross join (and broadcasting an over-limit right side)."""
+    if not allow_quadratic:
+        n = df.count()
+        if n > max_rows_unblocked:
+            raise ValueError(
+                f"cosine_pairs_exact is an all-pairs cross join — quadratic"
+                f" in rows ({n} rows -> ~{n * (n - 1) // 2:,} pairs)."
+                " Use cosine_pairs_lsh / embedding_near_dups at scale, or"
+                " set allow_quadratic=True explicitly."
+            )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     left = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     right = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))

@@ -13,7 +13,8 @@ pyspark.sql.datasource, Spark 4):
     src.write.format("chunktable").mode("append").save("/data/enc")
 
 ``pushFilters`` receives Catalyst's translated filters, maps the
-supported shapes (=, <, <=, >, >=, IN, IS [NOT] NULL, NOT =) onto the
+supported shapes (=, <, <=, >, >=, IN, IS [NOT] NULL, NOT =, and
+LIKE-'p%' prefix matches as the [p, successor(p)) range) onto the
 engine's chunk-statistics interpretation, and RETURNS every filter as
 unsupported — Spark re-applies them exactly on the decoded rows, so the
 source only ever uses them to SKIP chunks (sound over-approximation, the
@@ -92,6 +93,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -348,9 +350,20 @@ def _canon(value, dtype: str):
     return None
 
 
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p`` (the
+    exclusive upper bound of the LIKE 'p%' range), or None when no such
+    string exists (all code points maxed out)."""
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
 @dataclass(frozen=True)
 class _Leaf:
-    """One pruning leaf: op in (eq ne lt le gt ge isnull notnull), value."""
+    """One pruning leaf: op in (eq ne lt le gt ge prefix isnull notnull),
+    value."""
     op: str
     column: str
     value: object = None
@@ -366,6 +379,22 @@ def _leaf_possible(leaf: _Leaf, st: dict, dtype: str) -> bool:
         return nc < nv
     if nc >= nv:
         return False  # only null rows: no comparison matches (SQL semantics)
+    if leaf.op == "prefix":
+        # col LIKE 'p%'  <=>  p <= col < successor(p). min_val may be a
+        # truncated (64-char) prefix of the true min — still a lower
+        # bound, so stored_min >= successor(p) proves true_min does too;
+        # max_val is exact whenever stored (over-long maxima are NULL =
+        # unbounded), so max < p proves no row reaches the prefix range.
+        if dtype != "string" or not isinstance(leaf.value, str) or not leaf.value:
+            return True
+        p = leaf.value
+        mn, mx = st["min_val"], st["max_val"]
+        if mx is not None and mx < p:
+            return False
+        succ = _prefix_successor(p)
+        if succ is not None and mn is not None and mn >= succ:
+            return False
+        return True
     v = _canon(leaf.value, dtype)
     if v is None:
         return True
@@ -451,6 +480,8 @@ def _translate(filters: list[Filter]) -> "_Node | None":
             leaves.append(_Node("leaf", leaf=_Leaf("isnull", _attr(f))))
         elif isinstance(f, IsNotNull) and _attr(f):
             leaves.append(_Node("leaf", leaf=_Leaf("notnull", _attr(f))))
+        elif isinstance(f, StringStartsWith) and _attr(f):
+            leaves.append(_Node("leaf", leaf=_Leaf("prefix", _attr(f), f.value)))
         # anything else: no pruning contribution
     if not leaves:
         return None

@@ -139,6 +139,52 @@ def test_member_digest_prunes_eq():
     assert _leaf_possible(_Leaf("eq", "lang", "en"), st, "string")
 
 
+def test_prefix_pruning_leaf_and_behavior(registered, spark, tmp_path):
+    """LIKE 'p%' prunes via [p, successor(p)): unit verdicts + poisoned-
+    payload behavioral proof that out-of-range chunks never decode."""
+    from parquet_extra_spark.sources.chunk_datasource import _prefix_successor
+
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_successor(chr(0x10FFFF)) is None
+
+    st = {
+        "null_count": 0, "n_values": 10, "min_val": "cat", "max_val": "dog",
+        "member_hashes": None, "member_bloom": None,
+    }
+    assert _leaf_possible(_Leaf("prefix", "w", "c"), st, "string")
+    assert _leaf_possible(_Leaf("prefix", "w", "dog"), st, "string")
+    assert not _leaf_possible(_Leaf("prefix", "w", "b"), st, "string")   # max<p? no: min>=succ
+    assert not _leaf_possible(_Leaf("prefix", "w", "e"), st, "string")   # max < 'e'
+    # truncated min is still a lower bound; NULL max = unbounded keeps
+    assert _leaf_possible(_Leaf("prefix", "w", "z"), dict(st, max_val=None), "string")
+    # non-string value/empty prefix: no pruning (sound)
+    assert _leaf_possible(_Leaf("prefix", "w", ""), st, "string")
+
+    out = str(tmp_path / "flat")
+    df = spark.createDataFrame(
+        [(i, ("apple%04d" if i < 500 else "zebra%04d") % i) for i in range(1000)],
+        "k bigint, w string",
+    )
+    chunks = pes.encode(df, partition_cols=[], sort_cols=["w"], chunk_rows=500,
+                        n_buckets=1, n_salts=1, unit_sort=True)
+    poisoned = chunks.withColumn(
+        "payload",
+        F.when(
+            (F.col("column") == "w") & F.col("min_val").startswith("zebra"),
+            F.lit(b"\xde\xad"),
+        ).otherwise(F.col("payload")),
+    )
+    poisoned.write.parquet(out)
+    got = (
+        registered.read.format("chunktable").load(out)
+        .filter(F.col("w").startswith("apple"))
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(500))
+    with pytest.raises(Exception):
+        registered.read.format("chunktable").load(out).collect()
+
+
 def test_translate_shapes():
     node = _translate(
         [

@@ -68,6 +68,40 @@ def test_isin_and_nullness(table, chunks):
     _check(table, chunks, pred2, F.col("c").isNull() | (F.col("k") == 1))
 
 
+def test_startswith_matches_and_negates(table, chunks):
+    # b in s0..s6, g in g0..g3: prefix on each, plus NOT and composition
+    _check(table, chunks, P.startswith("b", "s3"),
+           F.col("b").startswith("s3"))
+    _check(table, chunks, ~P.startswith("g", "g1"),
+           ~F.col("g").startswith("g1"))
+    _check(table, chunks, P.startswith("g", "g") & P.ne("b", "s0"),
+           F.col("g").startswith("g") & (F.col("b") != "s0"))
+    # empty prefix lowers to NOT NULL; non-string prefix rejected
+    _check(table, chunks, P.startswith("b", ""), F.col("b").isNotNull())
+    with pytest.raises(TypeError):
+        P.startswith("b", 3)
+
+
+def test_startswith_prunes_and_is_sound(spark):
+    from parquet_extra_spark.engine.predicate import prefix_successor
+
+    assert prefix_successor("ab") == "ac"
+    assert prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert prefix_successor(chr(0x10FFFF)) is None
+    # two disjoint prefix groups, unit-sorted so chunk ranges tile: the
+    # non-matching chunk must be skipped (coarse half is not a no-op)
+    df = spark.createDataFrame(
+        [(i, ("apple%03d" if i < 300 else "zebra%03d") % i) for i in range(600)],
+        "k bigint, w string",
+    )
+    chunks = pes.encode(df, partition_cols=[], sort_cols=["w"], chunk_rows=300,
+                        n_buckets=1, n_salts=1, unit_sort=True).cache()
+    rep = pes.pushdown_stats_pred(chunks, pes.P.startswith("w", "apple"))
+    assert rep["chunks_kept"] < rep["chunks_total"]
+    got = pes.filter_decode_pred(chunks, pes.P.startswith("w", "apple"))
+    assert sorted(r["k"] for r in got.select("k").collect()) == list(range(300))
+
+
 def test_variadic_helpers(table, chunks):
     pred = P.and_(P.ge("k", 100), P.le("k", 900), P.or_(P.eq("b", "s2"), P.eq("b", "s4")))
     _check(table, chunks, pred,
