@@ -94,6 +94,31 @@ def main() -> None:
         "would OOM the driver).",
         formatted(pruned_chunks),
     ))
+
+    sorted_chunks = pes.encode(
+        docs, partition_cols=[], sort_cols=["source"], chunk_rows=64,
+        n_buckets=1, n_salts=1, num_partitions=1, unit_sort=True,
+    ).cache()
+    psrc = pes.pushdown_stats_pred(
+        sorted_chunks, pes.P.startswith("source", "src19"), schema_cols
+    )
+    sections.append((
+        "prefix predicate pruning (LIKE 'p%' as a stats range)",
+        "P.startswith compiles to the half-open range [p, successor(p)) "
+        "over string chunk stats — sound under the truncated-min / "
+        "unbounded-max storage rules — then the exact startswith recheck "
+        "runs on decoded rows. The same translation serves Spark's "
+        "StringStartsWith through the chunktable data source, so plain "
+        "SQL `LIKE 'src19%'` prunes chunks too. On a source-clustered "
+        "ingest (unit_sort, chunk ranges tile): kept "
+        f"{psrc['chunks_kept']}/{psrc['chunks_total']} chunks.",
+        formatted(
+            pes.filter_decode_pred(
+                sorted_chunks, pes.P.startswith("source", "src19"), colocated=True
+            )
+        ),
+    ))
+    sorted_chunks.unpersist()
     cached.unpersist()
 
     pruned = docs.select("doc_id", "lang").filter(F.col("n_chars") > 100)
