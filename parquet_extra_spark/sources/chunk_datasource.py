@@ -669,18 +669,39 @@ class ChunkTableStreamReader(DataSourceStreamReader):
     picked up by the next batch; nothing depends on ``committed_at``
     ordering (wall-clock frontiers silently skip late-visible runs under
     multi-writer or clock-skew conditions — the order-dependence this
-    design removes). Offsets grow with the run count (one id per
-    encode_to/writer commit); manifest-level compaction would bound that
-    in a long-lived production deployment.
+    design removes).
+
+    **Offset size**: the strict default grows with the run count (one id
+    per encode_to/writer commit) — exact forever, but at a
+    commit-every-10s pace the serialized offset reaches megabytes within
+    months. ``.option("offset_compact_slack", seconds)`` bounds it: the
+    offset becomes {frontier, runs}, where ``frontier`` is
+    max(committed_at) - slack, every run at-or-below the frontier counts
+    as consumed implicitly, and only ids NEWER than the frontier are
+    listed (state ∝ commit rate × slack, not table age). The traded
+    guarantee is explicit and watermark-shaped: a run whose manifest row
+    becomes visible with committed_at already ≤ the advanced frontier —
+    i.e. a writer that stalled longer than ``slack`` between stamping
+    committed_at and its manifest append becoming visible — is skipped.
+    Choose slack ≫ the longest plausible commit stall (hours); leave
+    unset for the strict set.
 
     Crashed-run orphans have no manifest row and are never read. A stream
     may start on a directory whose first commit has not happened yet: the
     reader idles at the empty offset until the manifest appears."""
 
-    def __init__(self, path: str, schema_cols: list[tuple[str, int, str]]):
+    def __init__(
+        self,
+        path: str,
+        schema_cols: list[tuple[str, int, str]],
+        offset_slack: float | None = None,
+    ):
         self._root = os.path.join(path, "chunks")
         self._manifest = os.path.join(path, "manifest")
         self._schema_cols = schema_cols
+        if offset_slack is not None and offset_slack <= 0:
+            raise ValueError("offset_compact_slack must be > 0 seconds")
+        self._slack = offset_slack
         entries = _flat_listing(path)
         if not os.path.isdir(self._manifest) and any(
             e != "chunks" for e in entries
@@ -698,26 +719,44 @@ class ChunkTableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"runs": []}
 
+    def _runs_times(self) -> dict[str, float]:
+        """Committed (run_id -> max committed_at); empty when the first
+        commit has not happened yet."""
+        if not any(f.endswith(".parquet") for f in _flat_listing(self._manifest)):
+            return {}
+        t = pq.read_table(self._manifest, columns=["run_id", "committed_at"])
+        runs: dict[str, float] = {}
+        for r, c in zip(
+            t.column("run_id").to_pylist(), t.column("committed_at").to_pylist()
+        ):
+            runs[r] = max(runs.get(r, c), c)
+        return runs
+
     def latestOffset(self) -> dict:
-        return {"runs": _committed_runs(self._manifest)}
+        if self._slack is None:
+            return {"runs": _committed_runs(self._manifest)}
+        runs = self._runs_times()
+        if not runs:
+            return {"frontier": 0.0, "runs": []}
+        frontier = max(runs.values()) - self._slack
+        return {
+            "frontier": frontier,
+            "runs": sorted(r for r, c in runs.items() if c > frontier),
+        }
 
     def _runs_of(self, offset: dict) -> set[str]:
-        if "runs" in offset:
-            return set(offset["runs"])
-        # pre-round-4 checkpoint: a wall-clock frontier offset — convert
-        # via committed_at once, then the run-set form takes over
+        """Offset -> the set of runs it marks consumed. Three forms share
+        one rule: a plain run-id set (strict default), the compacted
+        {frontier, runs} form (everything at-or-below the frontier is
+        implicitly consumed), and pre-round-4 wall-clock frontiers (a
+        degenerate compacted form with no listed runs) — so checkpoints
+        survive switching the slack option on or off mid-stream."""
+        if "frontier" not in offset:
+            return set(offset.get("runs", []))
         frontier = offset.get("frontier", 0.0)
-        try:
-            t = pq.read_table(self._manifest, columns=["run_id", "committed_at"])
-        except Exception:
-            return set()
-        return {
-            r
-            for r, c in zip(
-                t.column("run_id").to_pylist(),
-                t.column("committed_at").to_pylist(),
-            )
-            if c <= frontier
+        base = set(offset.get("runs", []))
+        return base | {
+            r for r, c in self._runs_times().items() if c <= frontier
         }
 
     def partitions(self, start: dict, end: dict):
@@ -1105,7 +1144,11 @@ class ChunkTableDataSource(DataSource):
             (f.name, i, f.dataType.simpleString())
             for i, f in enumerate(schema.fields)
         ]
-        return ChunkTableStreamReader(path, cols)
+        slack_opt = self.options.get("offset_compact_slack")
+        return ChunkTableStreamReader(
+            path, cols,
+            offset_slack=float(slack_opt) if slack_opt else None,
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> ChunkTableArrowWriter:
         from ..engine.schema import from_struct

@@ -140,3 +140,74 @@ def test_stream_offsets_are_order_independent(registered, spark, tmp_path):
         )
         pq.write_table(t, p)
     assert _run_stream(spark_, out, ckpt, sink) == list(range(50))
+
+
+def _backdate_runs(out, files, t=0.0):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in files:
+        p = os.path.join(out, "manifest", f)
+        tbl = pq.read_table(p)
+        idx = tbl.schema.get_field_index("committed_at")
+        tbl = tbl.set_column(
+            idx, "committed_at", pa.array([t] * tbl.num_rows, pa.float64())
+        )
+        pq.write_table(tbl, p)
+
+
+def test_stream_offset_slack_compaction(registered, spark, tmp_path):
+    """.option("offset_compact_slack", s): the offset compacts to
+    {frontier, runs-newer-than-frontier} — bounded state — while runs
+    within the slack window stay exactly-once. A run surfacing with
+    committed_at already below the frontier is skipped (the documented
+    watermark trade); a strict pure-set checkpoint still consumes it."""
+    from parquet_extra_spark.engine.schema import from_struct
+    from parquet_extra_spark.sources.chunk_datasource import (
+        ChunkTableStreamReader,
+    )
+
+    out = str(tmp_path / "enc")
+    kw = dict(partition_cols=["g"], chunk_rows=64, n_buckets=2, n_salts=1)
+    mdir = os.path.join(out, "manifest")
+    pes.encode_to(_mk(spark, 0, 30), out, dataset_id="b0", **kw)
+    pes.encode_to(_mk(spark, 30, 50), out, dataset_id="b1", **kw)
+    after_two = set(os.listdir(mdir))
+    pes.encode_to(_mk(spark, 50, 60), out, dataset_id="b2", **kw)
+    third_files = [
+        f
+        for f in set(os.listdir(mdir)) - after_two
+        if f.endswith(".parquet")
+    ]
+    cols = from_struct(_mk(spark, 0, 1).schema)
+
+    r = ChunkTableStreamReader(out, cols, offset_slack=3600.0)
+    times = r._runs_times()
+    by_time = [rid for rid, _ in sorted(times.items(), key=lambda kv: kv[1])]
+    first_two, third_id = by_time[:2], by_time[2]
+    # a checkpointed compacted offset from when only b0+b1 were consumed
+    off_a = {"frontier": max(times.values()) - 3600.0, "runs": sorted(first_two)}
+    # first batch from scratch consumes everything
+    files = [p.path for p in r.partitions(r.initialOffset(), r.latestOffset())]
+    assert files and all(os.path.isfile(f) for f in files)
+
+    # b2's manifest row is backdated BELOW the frontier (late-visible,
+    # stalled writer): under slack it counts as implicitly consumed —
+    # skipped, the documented watermark bound — and the offset stays
+    # bounded (only runs newer than the frontier are listed)
+    _backdate_runs(out, third_files, t=0.0)
+    off_b = r.latestOffset()
+    assert "frontier" in off_b and sorted(off_b["runs"]) == sorted(first_two)
+    assert r.partitions(off_a, off_b) == []
+
+    # a STRICT pure-set checkpoint (the default form) still consumes the
+    # backdated run exactly once — order independence is only traded
+    # where the user opted into slack compaction
+    strict = ChunkTableStreamReader(out, cols)
+    off_strict = {"runs": sorted(first_two)}
+    new = [p.path for p in strict.partitions(off_strict, strict.latestOffset())]
+    assert new and all(f"run_id={third_id}" in f for f in new)
+
+    # invalid slack rejected
+    with pytest.raises(ValueError):
+        ChunkTableStreamReader(out, cols, offset_slack=0.0)
