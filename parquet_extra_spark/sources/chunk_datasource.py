@@ -13,7 +13,7 @@ pyspark.sql.datasource, Spark 4):
     src.write.format("chunktable").mode("append").save("/data/enc")
 
 ``pushFilters`` receives Catalyst's translated filters, maps the
-supported shapes (=, <, <=, >, >=, IN, IS [NOT] NULL, NOT =, and
+supported shapes (=, <=>, <, <=, >, >=, IN, IS [NOT] NULL, NOT =, and
 LIKE-'p%' prefix matches as the [p, successor(p)) range) onto the
 engine's chunk-statistics interpretation, and RETURNS every filter as
 unsupported — Spark re-applies them exactly on the decoded rows, so the
@@ -90,6 +90,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     IsNotNull,
     IsNull,
+    EqualNullSafe,
     LessThan,
     LessThanOrEqual,
     Not,
@@ -482,6 +483,14 @@ def _translate(filters: list[Filter]) -> "_Node | None":
             leaves.append(_Node("leaf", leaf=_Leaf("notnull", _attr(f))))
         elif isinstance(f, StringStartsWith) and _attr(f):
             leaves.append(_Node("leaf", leaf=_Leaf("prefix", _attr(f), f.value)))
+        elif isinstance(f, EqualNullSafe) and _attr(f):
+            # col <=> NULL is IS NULL; with a non-null literal it matches
+            # exactly the rows plain equality matches (nulls fail both)
+            leaves.append(
+                _Node("leaf", leaf=_Leaf("isnull", _attr(f)))
+                if f.value is None
+                else _Node("leaf", leaf=_Leaf("eq", _attr(f), f.value))
+            )
         # anything else: no pruning contribution
     if not leaves:
         return None

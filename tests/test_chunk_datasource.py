@@ -185,6 +185,24 @@ def test_prefix_pruning_leaf_and_behavior(registered, spark, tmp_path):
         registered.read.format("chunktable").load(out).collect()
 
 
+def test_translate_null_safe_eq():
+    from pyspark.sql.datasource import EqualNullSafe
+
+    st = {
+        "null_count": 0, "n_values": 10, "min_val": "de", "max_val": "en",
+        "member_hashes": None, "member_bloom": None,
+    }
+    dtypes = {"lang": "string"}
+    node = _translate([EqualNullSafe(("lang",), "fr")])
+    assert not node.possible({"lang": st}, dtypes)  # fr > max 'en'
+    node = _translate([EqualNullSafe(("lang",), "en")])
+    assert node.possible({"lang": st}, dtypes)
+    # <=> NULL means IS NULL: prunable on null_count
+    node = _translate([EqualNullSafe(("lang",), None)])
+    assert not node.possible({"lang": st}, dtypes)
+    assert node.possible({"lang": dict(st, null_count=3)}, dtypes)
+
+
 def test_translate_shapes():
     node = _translate(
         [
