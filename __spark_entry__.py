@@ -590,6 +590,18 @@ def q_encoded_group_sum_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.group_sum_encoded(chunks, "lang", "chars_f", colocated=True)
 
 
+def q_encoded_group_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key compute-over-compressed: GROUP BY (lang, source) SUM via
+    dictionary codes of BOTH key columns composed with np.unique over the
+    stacked codes (engine/encoded_agg._key_codes) — composite keys never
+    materialize per row; the only shuffle carries (lang, source, partial)
+    triples."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_sum_encoded(
+        chunks, ["lang", "source"], "n_chars", colocated=True
+    )
+
+
 def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19/O20 on the SQL surface: .option("columns", ...) decodes ONLY
     the requested columns from a checkpoint-layout table whose planning
@@ -769,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_prefix": q_datasource_prefix,
         "encoded_group_stats": q_encoded_group_stats,
         "encoded_group_sum_float": q_encoded_group_sum_float,
+        "encoded_group_sum_multi": q_encoded_group_sum_multi,
         "datasource_projection": q_datasource_projection,
         "datasource_write_roundtrip": q_datasource_write_roundtrip,
     }
@@ -1109,6 +1122,10 @@ def oracle_sql() -> dict[str, str]:
         "encoded_group_sum_float": (
             "SELECT lang AS key, sum(CAST(n_chars AS DOUBLE)) AS s"
             " FROM documents GROUP BY lang"
+        ),
+        "encoded_group_sum_multi": (
+            "SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS s"
+            " FROM documents GROUP BY lang, source"
         ),
         "datasource_projection": "SELECT doc_id, lang FROM documents",
         "datasource_write_roundtrip": (

@@ -150,9 +150,9 @@ def value_counts_encoded(chunks: DataFrame, column: str) -> DataFrame:
 
 
 def _pair_work(
-    chunks: DataFrame, key_col: str, val_col: str, colocated: bool
+    chunks: DataFrame, cols: list[str], colocated: bool
 ) -> DataFrame:
-    """The (key, value) chunk rows, arranged so each chunk's pair is
+    """The chunk rows of ``cols``, arranged so each chunk's group is
     contiguous inside one partition.
 
     ``colocated=True`` — **no shuffle** (mirrors decode's contract,
@@ -165,7 +165,7 @@ def _pair_work(
     safe for arbitrary chunk tables (unions, file reads of unknown
     layout); ``decoder.check_colocated`` can verify file-backed tables
     metadata-only before opting in."""
-    work = chunks.filter(F.col("column").isin([key_col, val_col])).select(
+    work = chunks.filter(F.col("column").isin(list(cols))).select(
         "chunk_id", "column", "codec", "payload", "n_values"
     )
     if not colocated:
@@ -197,6 +197,49 @@ def _pair_stream(batches: Iterator[pa.RecordBatch], emit) -> Iterator[pa.RecordB
         out = emit(pending)
         if out is not None:
             yield out
+
+
+def _norm_keys(op: str, key_cols, val_col: str) -> tuple[list[str], bool]:
+    """-> (key column list, single-key flag). Single-key keeps the legacy
+    output column name ``key``; multi-key outputs the real column names."""
+    single = isinstance(key_cols, str)
+    keys = [key_cols] if single else list(key_cols)
+    if not keys:
+        raise ValueError(f"{op} needs at least one key column")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"{op}: duplicate key columns {keys}")
+    if val_col in keys:
+        raise ValueError(f"{op}: value column {val_col!r} cannot also be a key")
+    return keys, single
+
+
+def _key_codes(
+    group: dict, key_cols: list[str], key_dtypes: dict[str, str]
+) -> tuple[np.ndarray, int, list[pa.Array]]:
+    """-> (compact group codes per row, group count m, one key Array of
+    length m per key column). Each key column's dictionary codes come from
+    the codec structures (_codes_and_dict, null sentinel = len(dict));
+    the composite key is compacted with np.unique over the STACKED code
+    columns — no cross-key stride arithmetic, so any key count and any
+    per-key cardinality fits without overflow. Every returned group is
+    present in the chunk (dense), and a null key value decodes to a null
+    element exactly as SQL GROUP BY groups nulls."""
+    per, dicts = [], []
+    for c in key_cols:
+        codec, payload, n = group[c]
+        codes, dict_arr, _ = _codes_and_dict(payload, key_dtypes[c], codec, n)
+        per.append(codes)
+        dicts.append(dict_arr)
+    stacked = np.stack(per, axis=1)
+    uniq, inv = np.unique(stacked, axis=0, return_inverse=True)
+    outs = []
+    for k, c in enumerate(key_cols):
+        out_t = typemap.spark_to_arrow(key_dtypes[c])
+        full = pa.concat_arrays(
+            [dicts[k].cast(out_t), pa.nulls(1, type=out_t)]
+        )  # index len(dict) == the null sentinel
+        outs.append(full.take(pa.array(uniq[:, k], type=pa.int64())))
+    return inv.astype(np.int64).ravel(), len(uniq), outs
 
 
 def _val_lane(op: str, val_dtype: str) -> tuple[str, str]:
@@ -313,122 +356,135 @@ def _minmax_arrays(
 
 
 def group_stats_encoded(
-    chunks: DataFrame, key_col: str, val_col: str, colocated: bool = False
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    colocated: bool = False,
 ) -> DataFrame:
     """Grouped count/sum/min/max in one encoded-side pass:
-    ``SELECT key, count(*), count(val), sum(val), min(val), max(val)
-    GROUP BY key`` with the key read as dictionary codes (module
-    docstring). Value column may be int (exact int64), float/double
-    (float64, SUM -> double), or decimal(p<=18,s) (exact, SUM ->
-    decimal(38,s)). Output: (key, n_rows, n_vals, s, mn, mx) — s/mn/mx
-    NULL for groups whose values are all null, SQL semantics.
-    ``colocated=True`` skips the chunk_id repartition (see _pair_work)."""
-    key_dtype = _column_dtype(chunks, key_col)
+    ``SELECT keys, count(*), count(val), sum(val), min(val), max(val)
+    GROUP BY keys`` with every key read as dictionary codes (module
+    docstring); multiple key columns compose via np.unique over the
+    stacked per-key codes (_key_codes) — composite keys still never
+    materialize per row. Value column may be int (exact int64),
+    float/double (float64, SUM -> double), or decimal(p<=18,s) (exact,
+    SUM -> decimal(38,s)). Output: (key | the named key columns, n_rows,
+    n_vals, s, mn, mx) — s/mn/mx NULL for groups whose values are all
+    null, SQL semantics. ``colocated=True`` skips the chunk_id
+    repartition (see _pair_work)."""
+    keys, single = _norm_keys("group_stats_encoded", key_col, val_col)
+    key_dtypes = {c: _column_dtype(chunks, c) for c in keys}
     val_dtype = _column_dtype(chunks, val_col)
     lane, sum_sql = _val_lane("group_stats_encoded", val_dtype)
-    out_t = typemap.spark_to_arrow(key_dtype)
-    work = _pair_work(chunks, key_col, val_col, colocated)
+    out_names = ["key"] if single else keys
+    work = _pair_work(chunks, keys + [val_col], colocated)
 
     def emit(group: dict) -> pa.RecordBatch:
-        missing = [c for c in (key_col, val_col) if c not in group]
+        missing = [c for c in keys + [val_col] if c not in group]
         if missing:
             raise ValueError(
                 f"chunk is missing column rows for {missing} —"
-                " group_stats_encoded needs both columns in the chunk table"
+                " group_stats_encoded needs every key and the value column"
+                " in the chunk table"
             )
-        k_codec, k_payload, k_n = group[key_col]
         v_codec, v_payload, _ = group[val_col]
-        codes, dict_arr, _ = _codes_and_dict(k_payload, key_dtype, k_codec, k_n)
+        codes, m, key_arrs = _key_codes(group, keys, key_dtypes)
         varr = decode_array(v_payload, val_dtype, v_codec)
         vals, vmask = _extract_vals(varr, val_dtype, lane)
-        m = len(dict_arr) + 1  # + null-key group
         sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
         n_rows = np.bincount(codes, minlength=m).astype(np.int64)
         mins, maxs, _ = _minmax_arrays(codes, vals, vmask, m, lane, val_dtype)
-        keys = pa.concat_arrays([dict_arr.cast(out_t), pa.nulls(1, type=out_t)])
-        keep = n_rows > 0
-        idx = pa.array(np.flatnonzero(keep), type=pa.int64())
+        keep = np.ones(m, dtype=bool)  # _key_codes groups are dense
         return pa.RecordBatch.from_arrays(
             [
-                keys.take(idx),
-                pa.array(n_rows[keep], type=pa.int64()),
-                pa.array(nn[keep], type=pa.int64()),
+                *key_arrs,
+                pa.array(n_rows, type=pa.int64()),
+                pa.array(nn, type=pa.int64()),
                 _sum_arrow(sums, keep, lane, sum_sql),
-                mins.take(idx),
-                maxs.take(idx),
+                mins,
+                maxs,
             ],
-            ["key", "n_rows", "nn", "s", "mn", "mx"],
+            [*out_names, "__pe_nr", "__pe_nn", "__pe_s", "__pe_mn", "__pe_mx"],
         )
 
+    key_schema = ", ".join(
+        f"`{n}` {key_dtypes[c]}" for n, c in zip(out_names, keys)
+    )
     partials = work.mapInArrow(
         lambda batches: _pair_stream(batches, emit),
         schema=(
-            f"key {key_dtype}, n_rows bigint, nn bigint, s {sum_sql},"
-            f" mn {val_dtype}, mx {val_dtype}"
+            f"{key_schema}, __pe_nr bigint, __pe_nn bigint, __pe_s {sum_sql},"
+            f" __pe_mn {val_dtype}, __pe_mx {val_dtype}"
         ),
     )
-    return partials.groupBy("key").agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("nn").alias("n_vals"),
-        F.when(F.sum("nn") > 0, F.sum("s")).otherwise(F.lit(None)).cast(sum_sql).alias("s"),
-        F.min("mn").alias("mn"),
-        F.max("mx").alias("mx"),
+    return partials.groupBy(*[F.col(f"`{n}`") for n in out_names]).agg(
+        F.sum("__pe_nr").alias("n_rows"),
+        F.sum("__pe_nn").alias("n_vals"),
+        F.when(F.sum("__pe_nn") > 0, F.sum("__pe_s"))
+        .otherwise(F.lit(None))
+        .cast(sum_sql)
+        .alias("s"),
+        F.min("__pe_mn").alias("mn"),
+        F.max("__pe_mx").alias("mx"),
     )
 
 
 def group_sum_encoded(
-    chunks: DataFrame, key_col: str, val_col: str, colocated: bool = False
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    colocated: bool = False,
 ) -> DataFrame:
-    """``SELECT key, sum(val) GROUP BY key`` with the key side read from
-    codec structures: per chunk, the key's dictionary codes drive one
-    scatter-add over the value column — the key's values materialize
-    only at dictionary scale. Value lanes as group_stats_encoded: int
-    (exact, -> bigint), float/double (-> double), decimal(p<=18,s)
-    (exact, -> decimal(38,s)); SQL SUM semantics (nulls ignored, all-null
-    group -> NULL). Output columns: (key:<key dtype>, s). ``colocated=
-    True`` skips the chunk_id repartition (see _pair_work)."""
-    key_dtype = _column_dtype(chunks, key_col)
+    """``SELECT keys, sum(val) GROUP BY keys`` with the key side read from
+    codec structures: per chunk, the keys' dictionary codes drive one
+    scatter-add over the value column — key values materialize only at
+    dictionary scale, and multi-key composites compact via np.unique over
+    stacked codes (_key_codes), never per row. Value lanes as
+    group_stats_encoded: int (exact, -> bigint), float/double (-> double),
+    decimal(p<=18,s) (exact, -> decimal(38,s)); SQL SUM semantics (nulls
+    ignored, all-null group -> NULL). Output columns: (key | the named
+    key columns, s). ``colocated=True`` skips the chunk_id repartition
+    (see _pair_work)."""
+    keys, single = _norm_keys("group_sum_encoded", key_col, val_col)
+    key_dtypes = {c: _column_dtype(chunks, c) for c in keys}
     val_dtype = _column_dtype(chunks, val_col)
     lane, sum_sql = _val_lane("group_sum_encoded", val_dtype)
-    out_t = typemap.spark_to_arrow(key_dtype)
-    work = _pair_work(chunks, key_col, val_col, colocated)
+    out_names = ["key"] if single else keys
+    work = _pair_work(chunks, keys + [val_col], colocated)
 
     def emit(group: dict) -> pa.RecordBatch | None:
-        if key_col not in group or val_col not in group:
-            missing = [c for c in (key_col, val_col) if c not in group]
+        missing = [c for c in keys + [val_col] if c not in group]
+        if missing:
             raise ValueError(
                 f"chunk is missing column rows for {missing} — group_sum_encoded"
-                " needs both columns encoded in the same chunk table"
+                " needs every key and the value column in the chunk table"
             )
-        k_codec, k_payload, k_n = group[key_col]
         v_codec, v_payload, _ = group[val_col]
-        codes, dict_arr, _ = _codes_and_dict(k_payload, key_dtype, k_codec, k_n)
+        codes, m, key_arrs = _key_codes(group, keys, key_dtypes)
         varr = decode_array(v_payload, val_dtype, v_codec)
         vals, vmask = _extract_vals(varr, val_dtype, lane)
-        m = len(dict_arr) + 1  # + null-key group
         sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
-        keys = pa.concat_arrays([dict_arr.cast(out_t), pa.nulls(1, type=out_t)])
-        keep = (nn > 0) | (
-            np.bincount(codes, minlength=m)[:m] > 0
-        )  # groups present in this chunk
-        idx = pa.array(np.flatnonzero(keep), type=pa.int64())
+        keep = np.ones(m, dtype=bool)  # _key_codes groups are dense
         return pa.RecordBatch.from_arrays(
             [
-                keys.take(idx),
+                *key_arrs,
                 _sum_arrow(sums, keep, lane, sum_sql),
-                pa.array(nn[keep], type=pa.int64()),
+                pa.array(nn, type=pa.int64()),
             ],
-            ["key", "s", "nn"],
+            [*out_names, "__pe_s", "__pe_nn"],
         )
 
+    key_schema = ", ".join(
+        f"`{n}` {key_dtypes[c]}" for n, c in zip(out_names, keys)
+    )
     partials = work.mapInArrow(
         lambda batches: _pair_stream(batches, emit),
-        schema=f"key {key_dtype}, s {sum_sql}, nn bigint",
+        schema=f"{key_schema}, __pe_s {sum_sql}, __pe_nn bigint",
     )
-    return partials.groupBy("key").agg(
-        F.when(F.sum("nn") > 0, F.sum("s"))
+    return partials.groupBy(*[F.col(f"`{n}`") for n in out_names]).agg(
+        F.when(F.sum("__pe_nn") > 0, F.sum("__pe_s"))
         .otherwise(F.lit(None))
         .cast(sum_sql)
         .alias("s")

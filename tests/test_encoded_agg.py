@@ -269,3 +269,56 @@ def test_group_stats_float_infinity_group(spark):
     assert got["a"] == (float("inf"), float("inf"))
     assert got["b"] == (1.0, 1.0)
     assert math.isnan(got["c"][0]) and math.isnan(got["c"][1])
+
+
+def test_group_sum_multikey_matches_groupby(docs, doc_chunks):
+    got = {
+        (r["lang"], r["source"]): r["s"]
+        for r in group_sum_encoded(
+            doc_chunks, ["lang", "source"], "n_chars", colocated=True
+        ).collect()
+    }
+    want = {
+        (r["lang"], r["source"]): r["s"]
+        for r in docs.groupBy("lang", "source")
+        .agg(F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_stats_multikey_with_null_keys(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x", 1), ("a", "x", 2), ("a", None, 3),
+            (None, "x", 4), (None, None, 5), ("b", "y", None),
+        ],
+        "g1 string, g2 string, v bigint",
+    )
+    chunks = pes.encode(df, chunk_rows=3, n_buckets=2, n_salts=1).cache()
+    got = {
+        (r["g1"], r["g2"]): (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"])
+        for r in group_stats_encoded(chunks, ["g1", "g2"], "v").collect()
+    }
+    want = {
+        (r["g1"], r["g2"]): (r["n_rows"], r["n_vals"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("g1", "g2")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_multikey_validation(doc_chunks):
+    with pytest.raises(ValueError, match="at least one key"):
+        group_sum_encoded(doc_chunks, [], "n_chars")
+    with pytest.raises(ValueError, match="duplicate"):
+        group_sum_encoded(doc_chunks, ["lang", "lang"], "n_chars")
+    with pytest.raises(ValueError, match="cannot also be a key"):
+        group_sum_encoded(doc_chunks, ["lang", "n_chars"], "n_chars")
