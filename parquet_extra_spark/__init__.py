@@ -24,10 +24,13 @@ from .engine.pushdown import (
 )
 from .engine.aggregates import metadata_profile
 from .engine.encoded_agg import (
+    distinct_encoded,
+    group_count_distinct_encoded,
     group_stats_encoded,
     group_sum_encoded,
     value_counts_encoded,
 )
+from .engine.topk import topk_encoded
 from .engine.compact import compact_chunks, compaction_stats
 from .engine.maintain import delete_stats, delete_where, merge_rows
 from .engine.zorder import zorder_encode, zorder_key
@@ -95,6 +98,9 @@ __all__ = [
     "value_counts_encoded",
     "group_sum_encoded",
     "group_stats_encoded",
+    "distinct_encoded",
+    "group_count_distinct_encoded",
+    "topk_encoded",
     "P",
     "Pred",
     "filter_decode_pred",

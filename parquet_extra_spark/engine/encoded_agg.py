@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..codecs import decode_array, framing, packing, typemap
 from ..codecs.dictionary import _decode_dict_values, _dv_dtype
 from .decoder import discover_schema
+from .encoded_filter import row_mask
+from .predicate import Pred, prune_chunks, referenced_columns
 
 
 def _column_dtype(chunks: DataFrame, column: str) -> str:
@@ -47,6 +49,49 @@ def _column_dtype(chunks: DataFrame, column: str) -> str:
         if c == column:
             return d
     raise ValueError(f"unknown column: {column!r}")
+
+
+def _dtype_map(
+    chunks: DataFrame, needed: list[str], op: str
+) -> tuple[dict[str, str], list[tuple[str, int, str]]]:
+    """One discover_schema pass -> {column: dtype} for ``needed`` (plus
+    the full schema_cols for downstream pruning). Fail-fast on unknown
+    columns, matching the decode surface's contract."""
+    schema_cols = discover_schema(chunks)
+    dtypes = {c: d for c, _, d in schema_cols}
+    unknown = [c for c in needed if c not in dtypes]
+    if unknown:
+        raise ValueError(f"{op}: unknown columns {unknown}")
+    return {c: dtypes[c] for c in needed}, schema_cols
+
+
+def _where_refs(where: Pred | None) -> list[str]:
+    return sorted(referenced_columns(where)) if where is not None else []
+
+
+def _get_codes(group: dict, c: str, dtypes: dict[str, str], cache: dict):
+    """Per-chunk memo over _codes_and_dict: a column referenced both as a
+    group key and by the WHERE predicate is unpacked once."""
+    if c not in cache:
+        codec, payload, n = group[c]
+        cache[c] = _codes_and_dict(payload, dtypes[c], codec, n)
+    return cache[c]
+
+
+def _build_mask(
+    group: dict, where: Pred | None, dtypes: dict[str, str], cache: dict
+):
+    """Row keep-mask from the WHERE predicate, evaluated in the
+    dictionary domain (engine/encoded_filter): each leaf costs
+    |dictionary| comparisons plus one vectorized gather through the
+    codes — referenced columns never materialize their values per row."""
+    if where is None:
+        return None
+    env = {}
+    for c in referenced_columns(where):
+        codes, dict_arr, _ = _get_codes(group, c, dtypes, cache)
+        env[c] = (codes, dict_arr, dtypes[c])
+    return row_mask(where, env)
 
 
 def _typed_dict(dict_arr: pa.Array, dtype: str) -> pa.Array:
@@ -109,11 +154,25 @@ def _rle_value_counts(payload: bytes, dtype: str) -> tuple[pa.Array, np.ndarray,
     return _typed_dict(dict_arr, dtype), counts[:dict_n], int(counts[dict_n])
 
 
-def value_counts_encoded(chunks: DataFrame, column: str) -> DataFrame:
+def value_counts_encoded(
+    chunks: DataFrame,
+    column: str,
+    where: Pred | None = None,
+    colocated: bool = False,
+) -> DataFrame:
     """``SELECT value, count(*) GROUP BY value`` over one encoded column,
     computed from codec structures (see module docstring). Output columns:
     (value:<column dtype>, cnt:bigint); a null group appears when the
-    column has nulls — exactly SQL GROUP BY semantics."""
+    column has nulls — exactly SQL GROUP BY semantics.
+
+    ``where`` adds a pushed WHERE clause: chunk-stat pruning first, then
+    the dictionary-domain exact recheck (engine/encoded_filter) masks
+    rows before counting. The filtered form pairs the target column with
+    the predicate's columns per chunk (_pair_work; ``colocated=True``
+    skips its repartition); without ``where`` the operator stays map-only
+    over single chunk rows and ``colocated`` is irrelevant."""
+    if where is not None:
+        return _value_counts_filtered(chunks, column, where, colocated)
     dtype = _column_dtype(chunks, column)
     out_t = typemap.spark_to_arrow(dtype)
     work = chunks.filter(F.col("column") == column).select(
@@ -149,6 +208,201 @@ def value_counts_encoded(chunks: DataFrame, column: str) -> DataFrame:
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
 
 
+def _value_counts_filtered(
+    chunks: DataFrame, column: str, where: Pred, colocated: bool
+) -> DataFrame:
+    """value_counts_encoded's WHERE form: prune chunks on stats, then
+    per chunk mask the codes through the dictionary-domain verdict and
+    bincount the survivors — the counted column still materializes only
+    its dictionary."""
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, [column] + refs, "value_counts_encoded"
+    )
+    dtype = dtypes[column]
+    out_t = typemap.spark_to_arrow(dtype)
+    pruned = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(pruned, [column] + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in {column, *refs} if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " value_counts_encoded needs the counted column and every"
+                " WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        codes, dict_arr, _ = _get_codes(group, column, dtypes, cache)
+        n = len(dict_arr)
+        counts = np.bincount(codes[mask], minlength=n + 1).astype(np.int64)
+        keep = counts[:n] > 0
+        values = dict_arr.cast(out_t).filter(pa.array(keep))
+        cnts = pa.array(counts[:n][keep], type=pa.int64())
+        if counts[n]:
+            values = pa.concat_arrays([values, pa.nulls(1, type=out_t)])
+            cnts = pa.concat_arrays([cnts, pa.array([counts[n]], type=pa.int64())])
+        if not len(values):
+            return None
+        return pa.RecordBatch.from_arrays([values, cnts], ["value", "cnt"])
+
+    partials = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"value {dtype}, cnt bigint",
+    )
+    return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+
+
+def distinct_encoded(
+    chunks: DataFrame, column: str, where: Pred | None = None
+) -> DataFrame:
+    """``SELECT DISTINCT column`` from codec structures. dict/RLE chunks
+    answer from the DICTIONARY ALONE — by construction it is exactly the
+    chunk's distinct non-null set (codecs/dictionary.dict_encode_codes)
+    — plus the chunk stats row's null_count for the null element; codes
+    never expand to row scale. Other codecs decode once and unique
+    chunk-locally. The shuffle then carries per-chunk distinct values
+    (dictionary scale), and a Catalyst distinct finishes. Output column:
+    (value:<column dtype>). With ``where``, chunks are stats-pruned and
+    rows masked in the dictionary domain first (a code must survive the
+    mask for its value to count as present)."""
+    if where is not None:
+        return _distinct_filtered(chunks, column, where)
+    dtype = _column_dtype(chunks, column)
+    out_t = typemap.spark_to_arrow(dtype)
+    work = chunks.filter(F.col("column") == column).select(
+        "codec", "payload", "null_count"
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for i in range(batch.num_rows):
+                codec = batch.column("codec")[i].as_py()
+                payload = batch.column("payload")[i].as_py()
+                has_null = batch.column("null_count")[i].as_py() > 0
+                if codec in ("dict", "rle"):
+                    secs = framing.unpack_sections(payload)
+                    meta = json.loads(secs[0])
+                    dict_arr = _decode_dict_values(
+                        secs[3], secs[4], meta["dict_n"], _dv_dtype(dtype)
+                    )
+                    values = _typed_dict(dict_arr, dtype).cast(out_t)
+                else:
+                    import pyarrow.compute as pc
+
+                    arr = decode_array(payload, dtype, codec)
+                    values = pc.unique(arr.drop_null()).cast(out_t)
+                if has_null:
+                    values = pa.concat_arrays([values, pa.nulls(1, type=out_t)])
+                if len(values):
+                    yield pa.RecordBatch.from_arrays([values], ["value"])
+
+    return work.mapInArrow(fn, schema=f"value {dtype}").distinct()
+
+
+def _distinct_filtered(chunks: DataFrame, column: str, where: Pred) -> DataFrame:
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(chunks, [column] + refs, "distinct_encoded")
+    dtype = dtypes[column]
+    out_t = typemap.spark_to_arrow(dtype)
+    pruned = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(pruned, [column] + refs, colocated=False)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in {column, *refs} if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " distinct_encoded needs the projected column and every"
+                " WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        codes, dict_arr, _ = _get_codes(group, column, dtypes, cache)
+        surv = np.unique(codes[mask])
+        full = pa.concat_arrays(
+            [dict_arr.cast(out_t), pa.nulls(1, type=out_t)]
+        )  # index len(dict) == the null sentinel
+        values = full.take(pa.array(surv, type=pa.int64()))
+        if not len(values):
+            return None
+        return pa.RecordBatch.from_arrays([values], ["value"])
+
+    return (
+        work.mapInArrow(
+            lambda batches: _pair_stream(batches, emit), schema=f"value {dtype}"
+        )
+        .distinct()
+    )
+
+
+def group_count_distinct_encoded(
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    colocated: bool = False,
+    where: Pred | None = None,
+) -> DataFrame:
+    """``SELECT keys, count(DISTINCT val) GROUP BY keys`` over encoded
+    data: per chunk, np.unique over the STACKED (key codes..., val code)
+    columns yields the chunk-local distinct pairs — both sides read as
+    dictionary codes, values materializing only at per-chunk-distinct
+    scale. The shuffle carries those pairs and Catalyst's count_distinct
+    finishes (cross-chunk duplicates collapse there). SQL semantics:
+    NULL values don't count (a key whose values are all NULL reports 0,
+    and the key row is still present); NULL keys group together. Output:
+    (key | the named key columns, nd:bigint)."""
+    keys, single = _norm_keys("group_count_distinct_encoded", key_col, val_col)
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_count_distinct_encoded"
+    )
+    out_names = ["key"] if single else keys
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + [val_col] + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_count_distinct_encoded needs every key, the value"
+                " column, and every WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        per, dicts = [], []
+        for c in keys + [val_col]:
+            codes, dict_arr, _ = _get_codes(group, c, dtypes, cache)
+            if mask is not None:
+                codes = codes[mask]
+            per.append(codes)
+            dicts.append(dict_arr)
+        stacked = np.stack(per, axis=1)
+        uniq = np.unique(stacked, axis=0)
+        if not len(uniq):
+            return None
+        outs = []
+        for k, c in enumerate(keys + [val_col]):
+            out_t = typemap.spark_to_arrow(dtypes[c])
+            full = pa.concat_arrays([dicts[k].cast(out_t), pa.nulls(1, type=out_t)])
+            outs.append(full.take(pa.array(uniq[:, k], type=pa.int64())))
+        return pa.RecordBatch.from_arrays(outs, [*out_names, "__pe_v"])
+
+    key_schema = ", ".join(
+        f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys)
+    )
+    pairs = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"{key_schema}, __pe_v {dtypes[val_col]}",
+    )
+    return pairs.groupBy(*[F.col(f"`{n}`") for n in out_names]).agg(
+        F.count_distinct(F.col("__pe_v")).alias("nd")
+    )
+
+
 def _pair_work(
     chunks: DataFrame, cols: list[str], colocated: bool
 ) -> DataFrame:
@@ -165,7 +419,7 @@ def _pair_work(
     safe for arbitrary chunk tables (unions, file reads of unknown
     layout); ``decoder.check_colocated`` can verify file-backed tables
     metadata-only before opting in."""
-    work = chunks.filter(F.col("column").isin(list(cols))).select(
+    work = chunks.filter(F.col("column").isin(sorted(set(cols)))).select(
         "chunk_id", "column", "codec", "payload", "n_values"
     )
     if not colocated:
@@ -214,7 +468,11 @@ def _norm_keys(op: str, key_cols, val_col: str) -> tuple[list[str], bool]:
 
 
 def _key_codes(
-    group: dict, key_cols: list[str], key_dtypes: dict[str, str]
+    group: dict,
+    key_cols: list[str],
+    key_dtypes: dict[str, str],
+    mask: np.ndarray | None = None,
+    cache: dict | None = None,
 ) -> tuple[np.ndarray, int, list[pa.Array]]:
     """-> (compact group codes per row, group count m, one key Array of
     length m per key column). Each key column's dictionary codes come from
@@ -222,12 +480,15 @@ def _key_codes(
     the composite key is compacted with np.unique over the STACKED code
     columns — no cross-key stride arithmetic, so any key count and any
     per-key cardinality fits without overflow. Every returned group is
-    present in the chunk (dense), and a null key value decodes to a null
-    element exactly as SQL GROUP BY groups nulls."""
+    present in the chunk (dense) — with a WHERE ``mask`` the codes are
+    filtered BEFORE compaction, so fully-filtered groups never emit (SQL:
+    GROUP BY only over surviving rows). A null key value decodes to a
+    null element exactly as SQL GROUP BY groups nulls."""
     per, dicts = [], []
     for c in key_cols:
-        codec, payload, n = group[c]
-        codes, dict_arr, _ = _codes_and_dict(payload, key_dtypes[c], codec, n)
+        codes, dict_arr, _ = _get_codes(group, c, key_dtypes, cache if cache is not None else {})
+        if mask is not None:
+            codes = codes[mask]
         per.append(codes)
         dicts.append(dict_arr)
     stacked = np.stack(per, axis=1)
@@ -360,6 +621,7 @@ def group_stats_encoded(
     key_col: "str | list[str]",
     val_col: str,
     colocated: bool = False,
+    where: Pred | None = None,
 ) -> DataFrame:
     """Grouped count/sum/min/max in one encoded-side pass:
     ``SELECT keys, count(*), count(val), sum(val), min(val), max(val)
@@ -371,26 +633,42 @@ def group_stats_encoded(
     SUM -> decimal(38,s)). Output: (key | the named key columns, n_rows,
     n_vals, s, mn, mx) — s/mn/mx NULL for groups whose values are all
     null, SQL semantics. ``colocated=True`` skips the chunk_id
-    repartition (see _pair_work)."""
+    repartition (see _pair_work). ``where`` pushes a WHERE clause into
+    the encoded pass: chunk stats skip impossible chunks (prune_chunks),
+    then the exact recheck runs in the DICTIONARY domain
+    (engine/encoded_filter — |dictionary| comparisons per leaf, one
+    vectorized gather per row; Kleene 3-valued, so NULL semantics match
+    the SQL WHERE exactly)."""
     keys, single = _norm_keys("group_stats_encoded", key_col, val_col)
-    key_dtypes = {c: _column_dtype(chunks, c) for c in keys}
-    val_dtype = _column_dtype(chunks, val_col)
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_stats_encoded"
+    )
+    val_dtype = dtypes[val_col]
     lane, sum_sql = _val_lane("group_stats_encoded", val_dtype)
     out_names = ["key"] if single else keys
-    work = _pair_work(chunks, keys + [val_col], colocated)
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
 
-    def emit(group: dict) -> pa.RecordBatch:
-        missing = [c for c in keys + [val_col] if c not in group]
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + [val_col] + refs if c not in group]
         if missing:
             raise ValueError(
                 f"chunk is missing column rows for {missing} —"
-                " group_stats_encoded needs every key and the value column"
-                " in the chunk table"
+                " group_stats_encoded needs every key, the value column,"
+                " and every WHERE column in the chunk table"
             )
         v_codec, v_payload, _ = group[val_col]
-        codes, m, key_arrs = _key_codes(group, keys, key_dtypes)
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
+        if m == 0:
+            return None
         varr = decode_array(v_payload, val_dtype, v_codec)
         vals, vmask = _extract_vals(varr, val_dtype, lane)
+        if mask is not None:
+            vals, vmask = vals[mask], vmask[mask]
         sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
         n_rows = np.bincount(codes, minlength=m).astype(np.int64)
@@ -409,7 +687,7 @@ def group_stats_encoded(
         )
 
     key_schema = ", ".join(
-        f"`{n}` {key_dtypes[c]}" for n, c in zip(out_names, keys)
+        f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys)
     )
     partials = work.mapInArrow(
         lambda batches: _pair_stream(batches, emit),
@@ -435,6 +713,7 @@ def group_sum_encoded(
     key_col: "str | list[str]",
     val_col: str,
     colocated: bool = False,
+    where: Pred | None = None,
 ) -> DataFrame:
     """``SELECT keys, sum(val) GROUP BY keys`` with the key side read from
     codec structures: per chunk, the keys' dictionary codes drive one
@@ -445,25 +724,39 @@ def group_sum_encoded(
     decimal(p<=18,s) (exact, -> decimal(38,s)); SQL SUM semantics (nulls
     ignored, all-null group -> NULL). Output columns: (key | the named
     key columns, s). ``colocated=True`` skips the chunk_id repartition
-    (see _pair_work)."""
+    (see _pair_work). ``where`` pushes a WHERE clause into the encoded
+    pass: stats-pruned chunks plus a dictionary-domain exact recheck
+    (see group_stats_encoded / engine/encoded_filter)."""
     keys, single = _norm_keys("group_sum_encoded", key_col, val_col)
-    key_dtypes = {c: _column_dtype(chunks, c) for c in keys}
-    val_dtype = _column_dtype(chunks, val_col)
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_sum_encoded"
+    )
+    val_dtype = dtypes[val_col]
     lane, sum_sql = _val_lane("group_sum_encoded", val_dtype)
     out_names = ["key"] if single else keys
-    work = _pair_work(chunks, keys + [val_col], colocated)
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
 
     def emit(group: dict) -> pa.RecordBatch | None:
-        missing = [c for c in keys + [val_col] if c not in group]
+        missing = [c for c in keys + [val_col] + refs if c not in group]
         if missing:
             raise ValueError(
                 f"chunk is missing column rows for {missing} — group_sum_encoded"
-                " needs every key and the value column in the chunk table"
+                " needs every key, the value column, and every WHERE column"
+                " in the chunk table"
             )
         v_codec, v_payload, _ = group[val_col]
-        codes, m, key_arrs = _key_codes(group, keys, key_dtypes)
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
+        if m == 0:
+            return None
         varr = decode_array(v_payload, val_dtype, v_codec)
         vals, vmask = _extract_vals(varr, val_dtype, lane)
+        if mask is not None:
+            vals, vmask = vals[mask], vmask[mask]
         sums = _group_sums(codes, vals, vmask, m, lane)
         nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
         keep = np.ones(m, dtype=bool)  # _key_codes groups are dense
@@ -477,7 +770,7 @@ def group_sum_encoded(
         )
 
     key_schema = ", ".join(
-        f"`{n}` {key_dtypes[c]}" for n, c in zip(out_names, keys)
+        f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys)
     )
     partials = work.mapInArrow(
         lambda batches: _pair_stream(batches, emit),
