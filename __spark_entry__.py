@@ -602,6 +602,59 @@ def q_encoded_group_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-over-compressed: WHERE pushed INTO the encoded GROUP BY —
+    chunk stats skip impossible chunks, then the exact recheck runs in
+    the dictionary domain (one Kleene verdict per dictionary entry,
+    gathered through the codes; engine/encoded_filter) so the filtered
+    columns never materialize row-scale values. The NOT leaf exercises
+    3-valued semantics end-to-end."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    w = (
+        pes.P.ge("n_chars", 100)
+        & pes.P.le("n_chars", 400)
+        & ~pes.P.eq("lang", "en")
+    )
+    return pes.group_sum_encoded(
+        chunks, "lang", "n_chars", colocated=True, where=w
+    )
+
+
+def q_encoded_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT from codec structures: dict/RLE chunks answer
+    from the dictionary alone (it IS the chunk's distinct non-null set);
+    the WHERE masks codes in the dictionary domain first
+    (engine/encoded_agg.distinct_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.distinct_encoded(chunks, "source", where=pes.P.eq("lang", "en"))
+
+
+def q_encoded_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped COUNT(DISTINCT ...) over encoded data: per chunk,
+    np.unique over the stacked (key, value) dictionary codes emits the
+    chunk-local distinct pairs; the shuffle carries pairs at
+    per-chunk-distinct scale and Catalyst's count_distinct finishes
+    (engine/encoded_agg.group_count_distinct_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_count_distinct_encoded(
+        chunks, "lang", "source", colocated=True
+    )
+
+
+def q_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k with chunk-stat pruning (engine/topk): seed
+    chunks by their max_val stat, decode one column of <= k chunks for
+    the k-th-value threshold, then prove-skip every chunk whose max is
+    below it — the top-k analogue of the reference's row-group predicate
+    skipping (Predicate.scala:19-27). doc_id tie-breaks for a
+    deterministic row set."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.topk_encoded(
+        chunks, ["n_chars", "doc_id"], 50, columns=["doc_id", "n_chars"],
+        colocated=True,
+    )
+
+
 def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19/O20 on the SQL surface: .option("columns", ...) decodes ONLY
     the requested columns from a checkpoint-layout table whose planning
@@ -784,6 +837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_sum_multi": q_encoded_group_sum_multi,
         "datasource_projection": q_datasource_projection,
         "datasource_write_roundtrip": q_datasource_write_roundtrip,
+        "encoded_filtered_sum": q_encoded_filtered_sum,
+        "encoded_distinct": q_encoded_distinct,
+        "encoded_count_distinct": q_encoded_count_distinct,
+        "encoded_topk": q_encoded_topk,
     }
 
 
@@ -1126,6 +1183,22 @@ def oracle_sql() -> dict[str, str]:
         "encoded_group_sum_multi": (
             "SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS s"
             " FROM documents GROUP BY lang, source"
+        ),
+        "encoded_filtered_sum": (
+            "SELECT lang AS key, CAST(sum(n_chars) AS BIGINT) AS s"
+            " FROM documents WHERE n_chars >= 100 AND n_chars <= 400"
+            " AND NOT lang = 'en' GROUP BY lang"
+        ),
+        "encoded_distinct": (
+            "SELECT DISTINCT source AS value FROM documents WHERE lang = 'en'"
+        ),
+        "encoded_count_distinct": (
+            "SELECT lang AS key, count(DISTINCT source) AS nd"
+            " FROM documents GROUP BY lang"
+        ),
+        "encoded_topk": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL"
+            " ORDER BY n_chars DESC, doc_id LIMIT 50"
         ),
         "datasource_projection": "SELECT doc_id, lang FROM documents",
         "datasource_write_roundtrip": (
