@@ -331,6 +331,45 @@ def main() -> None:
         gs_plan,
     ))
 
+    # WHERE pushed INTO the encoded aggregate: chunk-stat skip + exact
+    # recheck in the dictionary domain (engine/encoded_filter)
+    srt = pes.encode(docs, sort_cols=["n_chars"], unit_sort=True,
+                     chunk_rows=64, n_buckets=1, n_salts=1,
+                     num_partitions=1).cache()
+    fpred = pes.P.ge("n_chars", 450)
+    fstats = pes.pushdown_stats_pred(srt, fpred)
+    fs = pes.group_sum_encoded(srt, "lang", "n_chars", where=fpred)
+    sections.append((
+        "filtered encoded GROUP BY (group_sum_encoded where=...)",
+        "The WHERE clause never materializes values per row: chunk stats "
+        "skip impossible chunks first, then each surviving chunk evaluates "
+        "the predicate ONCE per dictionary entry (Kleene 3-valued) and "
+        "gathers the verdict through the integer codes. On n_chars-sorted "
+        f"chunks, ge(n_chars,450) keeps {fstats['chunks_kept']}/"
+        f"{fstats['chunks_total']} chunks before any payload is read; the "
+        "shuffle above the kernel still carries only (key, partial) rows.",
+        formatted(fs),
+    ))
+
+    # stats-pruned ORDER BY ... LIMIT k (engine/topk)
+    k20 = sorted(
+        (r["n_chars"] for r in docs.select("n_chars").collect()), reverse=True
+    )[19]
+    tk_stats = pes.pushdown_stats_pred(srt, pes.P.ge("n_chars", k20))
+    tk = pes.topk_encoded(srt, ["n_chars", "doc_id"], 20,
+                          columns=["doc_id", "n_chars"])
+    sections.append((
+        "stats-pruned top-k (topk_encoded, k=20)",
+        "Seed chunks chosen by their max_val stat cover k non-null values; "
+        "decoding ONE column of <= k chunks yields the k-th-value "
+        "threshold, and every chunk whose max is provably below it skips. "
+        f"On n_chars-sorted chunks the threshold prune keeps "
+        f"{tk_stats['chunks_kept']}/{tk_stats['chunks_total']} chunks — "
+        "O(k / chunk_rows) of the table decodes, not all of it.",
+        formatted(tk),
+    ))
+    srt.unpersist()
+
     # large-set membership pruning: the plan stays O(1) expressions
     import time as _time
 
