@@ -655,6 +655,18 @@ def q_encoded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles from codec structures: (value, count)
+    pairs from dictionaries/RLE runs, a running-count window over the
+    sorted DISTINCT values, rank max(1, ceil(q*n)) — the window runs at
+    value cardinality, never row scale (engine/encoded_agg
+    .quantiles_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.quantiles_encoded(
+        chunks, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9], colocated=True
+    )
+
+
 def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19/O20 on the SQL surface: .option("columns", ...) decodes ONLY
     the requested columns from a checkpoint-layout table whose planning
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_distinct": q_encoded_distinct,
         "encoded_count_distinct": q_encoded_count_distinct,
         "encoded_topk": q_encoded_topk,
+        "encoded_quantiles": q_encoded_quantiles,
     }
 
 
@@ -1199,6 +1212,13 @@ def oracle_sql() -> dict[str, str]:
         "encoded_topk": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL"
             " ORDER BY n_chars DESC, doc_id LIMIT 50"
+        ),
+        "encoded_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q,"
+                f" quantile_disc(n_chars, {q}) AS value FROM documents"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9)
+            )
         ),
         "datasource_projection": "SELECT doc_id, lang FROM documents",
         "datasource_write_roundtrip": (

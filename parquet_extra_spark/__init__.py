@@ -28,6 +28,7 @@ from .engine.encoded_agg import (
     group_count_distinct_encoded,
     group_stats_encoded,
     group_sum_encoded,
+    quantiles_encoded,
     value_counts_encoded,
 )
 from .engine.topk import topk_encoded
@@ -100,6 +101,7 @@ __all__ = [
     "group_stats_encoded",
     "distinct_encoded",
     "group_count_distinct_encoded",
+    "quantiles_encoded",
     "topk_encoded",
     "P",
     "Pred",

@@ -403,6 +403,61 @@ def group_count_distinct_encoded(
     )
 
 
+def quantiles_encoded(
+    chunks: DataFrame,
+    column: str,
+    qs: list[float],
+    where: Pred | None = None,
+    colocated: bool = False,
+) -> DataFrame:
+    """Exact discrete quantiles (order statistics) over one encoded
+    column: ``value_counts_encoded`` supplies (value, count) pairs from
+    codec structures — values materialize at dictionary scale — then a
+    running-count window over the SORTED DISTINCT VALUES selects, for
+    each q, the value at rank ``max(1, ceil(q*n))`` over the n non-null
+    rows (the standard discrete-quantile / lower-order-statistic rule;
+    NULLs are ignored, as SQL percentile functions do). The window runs
+    over value cardinality, not row count — exact percentiles of a
+    100 TB dict/RLE column cost a dictionary-scale sort. Output rows:
+    (q:double, value:<column dtype>), one per requested q. ``where``
+    pushes a filter into the underlying counts (see
+    value_counts_encoded)."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("quantiles_encoded needs at least one q")
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(f"quantiles_encoded: q out of [0,1]: {bad}")
+    vc = value_counts_encoded(
+        chunks, column, where=where, colocated=colocated
+    ).filter(F.col("value").isNotNull())
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "value",
+        F.sum("cnt").over(w).alias("__pe_cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__pe_n"),
+    )
+    spark = chunks.sparkSession
+    q_df = spark.createDataFrame(
+        [(float(q),) for q in dict.fromkeys(qs)], "q double"
+    )
+    # rank r = max(1, ceil(q*n)); the quantile is the FIRST value whose
+    # running count reaches r. The join is (|qs| x |distinct|) at most —
+    # dictionary scale — and the groupBy collapses it to one row per q.
+    joined = q_df.join(
+        cum,
+        F.col("__pe_cum")
+        >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__pe_n"))),
+        "left",
+    )
+    return joined.groupBy("q").agg(F.min("value").alias("value"))
+
+
 def _pair_work(
     chunks: DataFrame, cols: list[str], colocated: bool
 ) -> DataFrame:

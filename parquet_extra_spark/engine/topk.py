@@ -33,6 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .decoder import decode, discover_schema
+from .predicate import (
+    Pred,
+    prune_chunks,
+    referenced_columns,
+    to_spark,
+)
 from .pushdown import _typed_stat, chunk_range_filter, semi_join_surviving
 
 
@@ -44,13 +50,21 @@ def topk_encoded(
     ascending: bool = False,
     schema_cols: list[tuple[str, int, str]] | None = None,
     colocated: bool = False,
+    where: Pred | None = None,
 ) -> DataFrame:
     """Top-k rows by ``order_cols[0]`` (descending by default), with the
     remaining ``order_cols`` as ascending tie-breakers — include a unique
     key there to make the returned SET deterministic under boundary ties.
     ``columns`` projects the decoded output (the ordering columns are
     added for the sort and projected back out if not requested).
-    Returns a DataFrame ordered by the full spec, at most k rows."""
+    Returns a DataFrame ordered by the full spec, at most k rows.
+
+    ``where`` filters BEFORE ranking (SQL: WHERE ... ORDER BY ... LIMIT
+    k): chunks impossible under the predicate are stats-pruned up front,
+    so both the seed and the threshold prune work on the filtered table;
+    the exact row recheck applies after decode. The seed's k-th value is
+    computed on rechecked rows, keeping the threshold sound under the
+    filter."""
     if k <= 0:
         raise ValueError(f"topk_encoded: k must be positive, got {k}")
     order = [order_cols] if isinstance(order_cols, str) else list(order_cols)
@@ -60,10 +74,13 @@ def topk_encoded(
     if schema_cols is None:
         schema_cols = discover_schema(chunks)
     dtypes = {c: d for c, _, d in schema_cols}
-    unknown = [c for c in order + (columns or []) if c not in dtypes]
+    refs = sorted(referenced_columns(where)) if where is not None else []
+    unknown = [c for c in order + (columns or []) + refs if c not in dtypes]
     if unknown:
         raise ValueError(f"topk_encoded: unknown columns {unknown}")
     dtype = dtypes[col]
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
 
     # 1. seed: enough best-bound chunks to cover k non-null values.
     # bound NULL = unbounded (all-null chunks are excluded by nn > 0;
@@ -91,11 +108,14 @@ def topk_encoded(
         if covered >= k:
             break
 
-    need = sorted(set(order) | set(columns or []))
+    need = sorted(set(order) | set(columns or []) | set(refs))
     if columns is None:
         need = None  # full-row decode
 
-    # 2. threshold from the seed chunks' ordering column alone
+    # 2. threshold from the seed chunks' ordering column alone (plus the
+    # WHERE recheck columns when filtering — the k-th value must be the
+    # k-th QUALIFYING value, and is only usable when the seed still has
+    # >= k qualifying rows after the exact recheck)
     v_k = None
     if covered >= k:
         spark = chunks.sparkSession
@@ -104,10 +124,12 @@ def topk_encoded(
         )
         seed_vals = decode(
             semi_join_surviving(chunks, seed_df),
-            columns=[col],
+            columns=sorted({col, *refs}),
             schema_cols=schema_cols,
             colocated=colocated,
         )
+        if where is not None:
+            seed_vals = seed_vals.filter(to_spark(where))
         kth = (
             seed_vals.filter(F.col(f"`{col}`").isNotNull())
             .orderBy(
@@ -115,11 +137,13 @@ def topk_encoded(
             )
             .limit(k)
             .agg(
-                (F.max if ascending else F.min)(F.col(f"`{col}`")).alias("v")
+                F.count("*").alias("n"),
+                (F.max if ascending else F.min)(F.col(f"`{col}`")).alias("v"),
             )
             .collect()
         )
-        v_k = kth[0]["v"] if kth else None
+        if kth and kth[0]["n"] >= k:
+            v_k = kth[0]["v"]
 
     # 3. prune on the threshold, decode survivors, exact order + limit
     pruned = chunks
@@ -136,6 +160,8 @@ def topk_encoded(
     )
     c0 = F.col(f"`{col}`")
     out = out.filter(c0.isNotNull())
+    if where is not None:
+        out = out.filter(to_spark(where))
     if v_k is not None:
         out = out.filter(c0 >= F.lit(v_k) if not ascending else c0 <= F.lit(v_k))
     sort_spec = [c0.asc() if ascending else c0.desc()] + [

@@ -371,3 +371,102 @@ def test_topk_validates(doc_chunks):
         topk_encoded(doc_chunks, ["nope"], 5)
     with pytest.raises(ValueError):
         topk_encoded(doc_chunks, ["n_chars"], 0)
+
+
+def test_topk_encoded_where(docs, doc_chunks):
+    w = P.eq("lang", "en") & P.lt("n_chars", 400)
+    got = topk_encoded(
+        doc_chunks, ["n_chars", "doc_id"], 30,
+        columns=["doc_id", "n_chars"], where=w,
+    ).collect()
+    want = (
+        docs.filter(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") < 400)
+            & F.col("n_chars").isNotNull()
+        )
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(30)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+
+
+def test_topk_where_seed_thinner_than_k(spark):
+    """The seed covers k rows by RAW non-null counts, but the WHERE can
+    leave < k qualifying seed rows — the threshold must then be dropped,
+    not taken from a too-short prefix (which would over-prune)."""
+    # sorted by v: the top chunk is all g=0; filter g=1 qualifies few
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("v"),
+    )
+    chunks = pes.encode(df, sort_cols=["v"], unit_sort=True, chunk_rows=10,
+                        n_buckets=1, n_salts=1)
+    got = topk_encoded(
+        chunks, ["v", "k"], 40, columns=["k", "v"], where=P.eq("g", 1)
+    ).collect()
+    want = (
+        df.filter(F.col("g") == 1)
+        .orderBy(F.col("v").desc(), F.col("k").asc())
+        .limit(40)
+        .select("k", "v")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def test_quantiles_encoded_matches_order_statistics(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import quantiles_encoded
+
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in quantiles_encoded(doc_chunks, "n_chars", qs).collect()
+    }
+    vals = sorted(
+        r["n_chars"] for r in docs.filter(F.col("n_chars").isNotNull()).collect()
+    )
+    import math
+
+    n = len(vals)
+    for q in qs:
+        want = vals[max(1, math.ceil(q * n)) - 1]
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_quantiles_encoded_where_and_nulls(spark):
+    from parquet_extra_spark.engine.encoded_agg import quantiles_encoded
+
+    df = spark.createDataFrame(
+        [(i, i * 10 if i % 4 else None) for i in range(1, 41)],
+        "g bigint, x bigint",
+    )
+    chunks = pes.encode(df, chunk_rows=8, n_buckets=1, n_salts=1)
+    got = {
+        r["q"]: r["value"]
+        for r in quantiles_encoded(
+            chunks, "x", [0.5], where=P.le("g", 20)
+        ).collect()
+    }
+    vals = sorted(
+        r["x"]
+        for r in df.filter((F.col("g") <= 20) & F.col("x").isNotNull()).collect()
+    )
+    import math
+
+    assert got[0.5] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+
+
+def test_quantiles_encoded_validates(doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import quantiles_encoded
+
+    with pytest.raises(ValueError):
+        quantiles_encoded(doc_chunks, "n_chars", [])
+    with pytest.raises(ValueError):
+        quantiles_encoded(doc_chunks, "n_chars", [1.5])
