@@ -93,9 +93,14 @@ def _dict_cmp(op: str, dict_arr: pa.Array, dtype: str, v) -> np.ndarray:
     comparison otherwise — still dictionary-scale."""
     if dtype in typemap.INT_DTYPES and _is_plain_int(v):
         a, s = dict_arr.cast(pa.int64()), pa.scalar(int(v), pa.int64())
-    elif (dtype in _NUMERIC or typemap.is_decimal(dtype)) and _is_plain_num(v):
-        # mixed numeric: promote to float64, Catalyst's common type for an
-        # int/decimal column against a float literal
+    elif dtype in _NUMERIC and _is_plain_num(v):
+        # int/float column vs float literal: promote to float64 —
+        # Catalyst's common type (the same precision loss Spark has)
+        a, s = dict_arr.cast(pa.float64()), pa.scalar(float(v), pa.float64())
+    elif typemap.is_decimal(dtype) and isinstance(v, (float, np.floating)):
+        # decimal column vs FLOAT literal: Catalyst promotes both to
+        # double; decimal vs INT literal stays exact (decimal common
+        # type) and must take the object path below
         a, s = dict_arr.cast(pa.float64()), pa.scalar(float(v), pa.float64())
     elif dtype == "string" and isinstance(v, str):
         a, s = dict_arr, pa.scalar(v, pa.string())

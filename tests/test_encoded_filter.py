@@ -95,6 +95,23 @@ def test_leaf_verdicts_mixed_numeric_literal():
     ]
 
 
+def test_decimal_vs_int_literal_is_exact_beyond_float53():
+    # decimal column vs INT literal: Catalyst's common type is decimal
+    # (exact); a float64 shortcut would conflate 2^53 and 2^53+1
+    import decimal
+
+    big = decimal.Decimal(9007199254740993)  # 2^53 + 1
+    d = pa.array([big, big - 1], type=pa.decimal128(18, 0))
+    # in float64 both entries collapse to 2^53 and would BOTH match both
+    # literals; exact comparison distinguishes them
+    assert list(leaf_verdicts(P.eq("x", 9007199254740992), d, "decimal(18,0)")) == [
+        K_FALSE, K_TRUE, K_UNKNOWN,
+    ]
+    assert list(leaf_verdicts(P.eq("x", 9007199254740993), d, "decimal(18,0)")) == [
+        K_TRUE, K_FALSE, K_UNKNOWN,
+    ]
+
+
 def test_not_over_null_is_excluded():
     # rows: x = 1, 9, NULL. WHERE NOT (x > 5) keeps only x=1:
     # NOT(NULL > 5) = NOT(UNKNOWN) = UNKNOWN -> excluded.
