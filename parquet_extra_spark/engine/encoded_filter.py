@@ -155,7 +155,7 @@ def leaf_verdicts(pred: Pred, dict_arr: pa.Array, dtype: str) -> np.ndarray:
         # is exact across mixed numeric literals. x IN (..., NULL) is
         # UNKNOWN (not FALSE) when x matches no non-null element.
         non_null = {v for v in pred.values if v is not None}
-        has_null_item = len(non_null) < len(pred.values)
+        has_null_item = any(v is None for v in pred.values)
         miss = K_UNKNOWN if has_null_item else K_FALSE
         vals = dict_arr.to_pylist()
         for i, x in enumerate(vals):
