@@ -409,19 +409,32 @@ def quantiles_encoded(
     qs: list[float],
     where: Pred | None = None,
     colocated: bool = False,
+    distributed: bool | None = None,
+    max_window_values: int = 65536,
 ) -> DataFrame:
     """Exact discrete quantiles (order statistics) over one encoded
     column: ``value_counts_encoded`` supplies (value, count) pairs from
-    codec structures — values materialize at dictionary scale — then a
-    running-count window over the SORTED DISTINCT VALUES selects, for
-    each q, the value at rank ``max(1, ceil(q*n))`` over the n non-null
-    rows (the standard discrete-quantile / lower-order-statistic rule;
-    NULLs are ignored, as SQL percentile functions do). The window runs
-    over value cardinality, not row count — exact percentiles of a
-    100 TB dict/RLE column cost a dictionary-scale sort. Output rows:
-    (q:double, value:<column dtype>), one per requested q. ``where``
-    pushes a filter into the underlying counts (see
-    value_counts_encoded)."""
+    codec structures — values materialize at dictionary scale — then the
+    value at rank ``max(1, ceil(q*n))`` over the n non-null rows is
+    selected per q (the standard discrete-quantile / lower-order-
+    statistic rule; NULLs are ignored, as SQL percentile functions do).
+    Output rows: (q:double, value:<column dtype>), one per requested q.
+    ``where`` pushes a filter into the underlying counts (see
+    value_counts_encoded).
+
+    Two rank-selection strategies, auto-gated on the metadata-only
+    cardinality estimate (sum of per-chunk distinct_est):
+
+    * low cardinality (the dict/RLE sweet spot): one running-count
+      window over the sorted distinct values — a single tiny partition.
+    * high cardinality (``distributed=True`` or estimate above
+      ``max_window_values``): range-partition the (value, count) pairs,
+      collect only the P per-partition subtotals to locate each rank's
+      partition, then run the running-count window PARTITIONED (parallel)
+      over just the few partitions that hold a requested rank. No global
+      single-partition sort at any scale; the result (<= |qs| rows) is
+      materialized eagerly so the range-partitioned intermediate can be
+      unpersisted deterministically."""
     from pyspark.sql import Window
 
     if not qs:
@@ -429,9 +442,20 @@ def quantiles_encoded(
     bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
     if bad:
         raise ValueError(f"quantiles_encoded: q out of [0,1]: {bad}")
+    spark = chunks.sparkSession
+    uq = [float(q) for q in dict.fromkeys(qs)]
     vc = value_counts_encoded(
         chunks, column, where=where, colocated=colocated
     ).filter(F.col("value").isNotNull())
+    if distributed is None:
+        est = (
+            chunks.filter(F.col("column") == column)
+            .agg(F.sum("distinct_est"))
+            .collect()[0][0]
+        )
+        distributed = (est or 0) > max_window_values
+    if distributed:
+        return _quantiles_distributed(vc, uq, spark)
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     cum = vc.select(
         "value",
@@ -442,10 +466,7 @@ def quantiles_encoded(
             )
         ).alias("__pe_n"),
     )
-    spark = chunks.sparkSession
-    q_df = spark.createDataFrame(
-        [(float(q),) for q in dict.fromkeys(qs)], "q double"
-    )
+    q_df = spark.createDataFrame([(q,) for q in uq], "q double")
     # rank r = max(1, ceil(q*n)); the quantile is the FIRST value whose
     # running count reaches r. The join is (|qs| x |distinct|) at most —
     # dictionary scale — and the groupBy collapses it to one row per q.
@@ -456,6 +477,73 @@ def quantiles_encoded(
         "left",
     )
     return joined.groupBy("q").agg(F.min("value").alias("value"))
+
+
+def _quantiles_distributed(vc, uq: list[float], spark) -> DataFrame:
+    """High-cardinality rank selection (see quantiles_encoded): locate
+    each rank's range partition from P collected subtotals, then window
+    only inside those partitions."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    val_field = vc.schema["value"]
+    out_schema = T.StructType(
+        [T.StructField("q", T.DoubleType(), False),
+         T.StructField("value", val_field.dataType, True)]
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    rp = (
+        vc.repartitionByRange(n_parts, "value")
+        .sortWithinPartitions("value")
+        .withColumn("__pe_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        tots = {
+            r["__pe_pid"]: r["t"]
+            for r in rp.groupBy("__pe_pid").agg(F.sum("cnt").alias("t")).collect()
+        }
+        n = sum(tots.values())
+        if n == 0:
+            return spark.createDataFrame([(q, None) for q in uq], out_schema)
+        targets = []  # (q, pid, local rank)
+        for q in uq:
+            r = max(1, math.ceil(q * n))
+            off = 0
+            for pid in sorted(tots):
+                if r <= off + tots[pid]:
+                    targets.append((q, pid, r - off))
+                    break
+                off += tots[pid]
+        t_df = spark.createDataFrame(
+            targets, "q double, __pe_pid int, __pe_lr bigint"
+        )
+        w = (
+            Window.partitionBy("__pe_pid")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = rp.filter(
+            F.col("__pe_pid").isin(sorted({p for _, p, _ in targets}))
+        ).select("value", "__pe_pid", F.sum("cnt").over(w).alias("__pe_cum"))
+        rows = (
+            t_df.join(
+                cum,
+                (t_df["__pe_pid"] == cum["__pe_pid"])
+                & (cum["__pe_cum"] >= t_df["__pe_lr"]),
+                "left",
+            )
+            .groupBy("q")
+            .agg(F.min("value").alias("value"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["q"], r["value"]) for r in rows], out_schema
+        )
+    finally:
+        rp.unpersist()
 
 
 def _pair_work(

@@ -480,6 +480,38 @@ def test_quantiles_encoded_where_and_nulls(spark):
     assert got[0.5] == vals[max(1, math.ceil(0.5 * len(vals))) - 1]
 
 
+def test_quantiles_distributed_path_matches_window_path(spark):
+    """High-cardinality lane: range-partitioned rank location must agree
+    with the single-window lane (and with direct order statistics) —
+    including via the auto gate on the distinct_est metadata sum."""
+    from parquet_extra_spark.engine.encoded_agg import quantiles_encoded
+    import math
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 997).alias("v")
+    )
+    chunks = pes.encode(df, chunk_rows=256, n_buckets=2, n_salts=1).cache()
+    qs = [0.0, 0.1, 0.5, 0.75, 0.99, 1.0]
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    want = {q: vals[max(1, math.ceil(q * n)) - 1] for q in qs}
+    for kwargs in (
+        {"distributed": False},
+        {"distributed": True},
+        {"max_window_values": 10},  # auto gate -> distributed
+    ):
+        got = {
+            r["q"]: r["value"]
+            for r in quantiles_encoded(chunks, "v", qs, **kwargs).collect()
+        }
+        assert got == want, kwargs
+    # filtered + empty result through the distributed lane
+    got = quantiles_encoded(
+        chunks, "v", [0.5], where=P.lt("k", -1), distributed=True
+    ).collect()
+    assert len(got) == 1 and got[0]["value"] is None
+
+
 def test_quantiles_encoded_validates(doc_chunks):
     from parquet_extra_spark.engine.encoded_agg import quantiles_encoded
 
