@@ -368,6 +368,21 @@ def main() -> None:
         "O(k / chunk_rows) of the table decodes, not all of it.",
         formatted(tk),
     ))
+    # exact encoded quantiles: rank selection over (value, count) pairs
+    qt = pes.quantiles_encoded(srt, "n_chars", [0.5, 0.95], distributed=False)
+    sections.append((
+        "exact encoded quantiles (quantiles_encoded)",
+        "Order statistics from codec structures: (value, count) pairs "
+        "come out of dictionaries/RLE runs, so the rank scan runs at "
+        "VALUE CARDINALITY, never row scale. Low-cardinality columns use "
+        "one tiny running-count window (this plan); above ~64k estimated "
+        "distinct values (metadata-only distinct_est sum) an auto gate "
+        "switches to range-partitioned rank location — P collected "
+        "subtotals find each rank's partition and the window runs "
+        "parallel inside only those partitions, so there is no global "
+        "single-partition sort at any scale.",
+        formatted(qt),
+    ))
     srt.unpersist()
 
     # large-set membership pruning: the plan stays O(1) expressions
