@@ -61,3 +61,38 @@ def test_after_frontier_is_exactly_once(spark, tmp_path):
             .collect()[0]["t"]
         )
     assert sorted(seen) == list(range(130))
+
+
+def test_incremental_encoded_rollup(spark, tmp_path):
+    """Compute-over-compressed composes with incremental reads: a
+    consumer maintains a running GROUP BY by applying group_sum_encoded
+    to each after=frontier increment — new runs aggregate from their
+    dictionary codes, already-consumed runs are never re-read, and no
+    batch ever decodes the value column's rows."""
+    from pyspark.sql import functions as F
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 10) for i in range(lo, hi)],
+            "k bigint, g string, v bigint",
+        )
+
+    out = str(tmp_path / "enc")
+    kw = dict(chunk_rows=32, n_buckets=1, n_salts=1)
+    frontier = 0.0
+    rollup: dict = {}
+    for lo, hi in [(0, 50), (50, 80), (80, 130)]:
+        pes.encode_to(mk(lo, hi), out, dataset_id=f"b{lo}", **kw)
+        inc = pes.read_chunks(spark, out, after=frontier)
+        for r in pes.group_sum_encoded(inc, "g", "v").collect():
+            rollup[r["key"]] = rollup.get(r["key"], 0) + r["s"]
+        frontier = (
+            pes.load_manifest(spark, out)
+            .agg(F.max("committed_at").alias("t"))
+            .collect()[0]["t"]
+        )
+    want = {
+        r["g"]: r["s"]
+        for r in mk(0, 130).groupBy("g").agg(F.sum("v").alias("s")).collect()
+    }
+    assert rollup == want
