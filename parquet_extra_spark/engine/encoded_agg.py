@@ -255,7 +255,10 @@ def _value_counts_filtered(
 
 
 def distinct_encoded(
-    chunks: DataFrame, column: str, where: Pred | None = None
+    chunks: DataFrame,
+    column: str,
+    where: Pred | None = None,
+    colocated: bool = False,
 ) -> DataFrame:
     """``SELECT DISTINCT column`` from codec structures. dict/RLE chunks
     answer from the DICTIONARY ALONE — by construction it is exactly the
@@ -266,9 +269,11 @@ def distinct_encoded(
     (dictionary scale), and a Catalyst distinct finishes. Output column:
     (value:<column dtype>). With ``where``, chunks are stats-pruned and
     rows masked in the dictionary domain first (a code must survive the
-    mask for its value to count as present)."""
+    mask for its value to count as present); ``colocated`` then applies
+    to the per-chunk column pairing (_pair_work) and is irrelevant
+    without ``where`` (the unfiltered path is map-only)."""
     if where is not None:
-        return _distinct_filtered(chunks, column, where)
+        return _distinct_filtered(chunks, column, where, colocated)
     dtype = _column_dtype(chunks, column)
     out_t = typemap.spark_to_arrow(dtype)
     work = chunks.filter(F.col("column") == column).select(
@@ -301,13 +306,15 @@ def distinct_encoded(
     return work.mapInArrow(fn, schema=f"value {dtype}").distinct()
 
 
-def _distinct_filtered(chunks: DataFrame, column: str, where: Pred) -> DataFrame:
+def _distinct_filtered(
+    chunks: DataFrame, column: str, where: Pred, colocated: bool
+) -> DataFrame:
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(chunks, [column] + refs, "distinct_encoded")
     dtype = dtypes[column]
     out_t = typemap.spark_to_arrow(dtype)
     pruned = prune_chunks(chunks, where, schema_cols)
-    work = _pair_work(pruned, [column] + refs, colocated=False)
+    work = _pair_work(pruned, [column] + refs, colocated)
 
     def emit(group: dict) -> pa.RecordBatch | None:
         missing = [c for c in {column, *refs} if c not in group]
