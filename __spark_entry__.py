@@ -667,6 +667,43 @@ def q_encoded_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-over-compressed (engine/encoded_join): the dim's key set is
+    pushed as chunk pruning (membership digests + min/max, data-shaped
+    above 64 keys), the join key matches once per DICTIONARY entry
+    (pc.index_in over distinct values, never per row), and payload
+    columns decode only for surviving rows — the C-Store "invisible
+    join" with a broadcast dim and a map-only fact side."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    chunks = pes.encode(
+        o, partition_cols=["o_orderstatus"], sort_cols=["o_orderkey"],
+        chunk_rows=4096, n_buckets=4, n_salts=1, num_partitions=8,
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    return pes.join_encoded(
+        chunks, ("o_custkey", "c_custkey"), dim,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        where=pes.P.gt("o_totalprice", 150000.0), colocated=True,
+    )
+
+
+def q_encoded_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join in the dictionary domain: fact rows whose key hits the
+    broadcast key set survive; nothing but the key's dictionary is
+    matched, and only surviving chunks decode (how="semi" returns fact
+    columns only — SQL IN/EXISTS)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    dim = docs.filter(F.col("n_chars") > 400).select("doc_id")
+    return pes.join_encoded(
+        chunks, "doc_id", dim, columns=["doc_id", "lang", "n_chars"],
+        how="semi", colocated=True,
+    )
+
+
 def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O19/O20 on the SQL surface: .option("columns", ...) decodes ONLY
     the requested columns from a checkpoint-layout table whose planning
@@ -854,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_count_distinct": q_encoded_count_distinct,
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
+        "encoded_dim_join": q_encoded_dim_join,
+        "encoded_semijoin": q_encoded_semijoin,
     }
 
 
@@ -1219,6 +1258,15 @@ def oracle_sql() -> dict[str, str]:
                 f" quantile_disc(n_chars, {q}) AS value FROM documents"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9)
             )
+        ),
+        "encoded_dim_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " WHERE o_totalprice > 150000"
+        ),
+        "encoded_semijoin": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE doc_id IN (SELECT doc_id FROM documents WHERE n_chars > 400)"
         ),
         "datasource_projection": "SELECT doc_id, lang FROM documents",
         "datasource_write_roundtrip": (

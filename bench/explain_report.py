@@ -383,6 +383,33 @@ def main() -> None:
         "single-partition sort at any scale.",
         formatted(qt),
     ))
+    # join-over-compressed: dim key set pushed as chunk pruning, key
+    # matched once per dictionary entry (engine/encoded_join)
+    dim = (
+        docs.filter(F.col("n_chars") >= 450)
+        .select(F.col("n_chars").alias("nv"))
+        .distinct()
+        .withColumn("bucket", F.col("nv") % 7)
+    )
+    dim_vals = [r["nv"] for r in dim.select("nv").collect()]
+    j_stats = pes.pushdown_stats_pred(srt, pes.P.isin("n_chars", dim_vals))
+    jn = pes.join_encoded(
+        srt, ("n_chars", "nv"), dim, columns=["doc_id", "n_chars"],
+        colocated=True,
+    )
+    sections.append((
+        "join-over-compressed (join_encoded, broadcast dim)",
+        "The invisible join: the dim's key set becomes a pushed IN-list "
+        f"whose envelope + membership digests keep {j_stats['chunks_kept']}"
+        f"/{j_stats['chunks_total']} chunks metadata-only; surviving "
+        "chunks match the key ONCE per dictionary entry (pc.index_in) and "
+        "gather dim row indices through the codes, so fact rows that miss "
+        "never materialize. colocated=True: the fact side has no exchange "
+        "at all — the dim ships as a broadcast, the join output is "
+        "map-only (the one BroadcastHashJoin below is the metadata "
+        "semi-join of pruning, over chunk IDs, not data).",
+        formatted(jn),
+    ))
     srt.unpersist()
 
     # large-set membership pruning: the plan stays O(1) expressions

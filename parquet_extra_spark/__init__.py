@@ -32,6 +32,7 @@ from .engine.encoded_agg import (
     value_counts_encoded,
 )
 from .engine.topk import topk_encoded
+from .engine.encoded_join import join_encoded
 from .engine.compact import compact_chunks, compaction_stats
 from .engine.maintain import delete_stats, delete_where, merge_rows
 from .engine.zorder import zorder_encode, zorder_key
@@ -103,6 +104,7 @@ __all__ = [
     "group_count_distinct_encoded",
     "quantiles_encoded",
     "topk_encoded",
+    "join_encoded",
     "P",
     "Pred",
     "filter_decode_pred",
