@@ -667,6 +667,16 @@ def q_encoded_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
+    the VALUE column also stays at dictionary scale — its dictionary is
+    ranked once per chunk (the same binary-collation order SQL uses) and
+    per-group extremes reduce over ranks through the codes
+    (engine/encoded_agg.group_minmax_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_minmax_encoded(chunks, "lang", "doc_id", colocated=True)
+
+
 def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-over-compressed (engine/encoded_join): the dim's key set is
     pushed as chunk pruning (membership digests + min/max, data-shaped
@@ -891,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_count_distinct": q_encoded_count_distinct,
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
+        "encoded_minmax": q_encoded_minmax,
         "encoded_dim_join": q_encoded_dim_join,
         "encoded_semijoin": q_encoded_semijoin,
     }
@@ -1258,6 +1269,10 @@ def oracle_sql() -> dict[str, str]:
                 f" quantile_disc(n_chars, {q}) AS value FROM documents"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9)
             )
+        ),
+        "encoded_minmax": (
+            "SELECT lang AS key, count(*) AS n_rows, count(doc_id) AS n_vals,"
+            " min(doc_id) AS mn, max(doc_id) AS mx FROM documents GROUP BY lang"
         ),
         "encoded_dim_join": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment"

@@ -26,6 +26,7 @@ from .engine.aggregates import metadata_profile
 from .engine.encoded_agg import (
     distinct_encoded,
     group_count_distinct_encoded,
+    group_minmax_encoded,
     group_stats_encoded,
     group_sum_encoded,
     quantiles_encoded,
@@ -100,6 +101,7 @@ __all__ = [
     "value_counts_encoded",
     "group_sum_encoded",
     "group_stats_encoded",
+    "group_minmax_encoded",
     "distinct_encoded",
     "group_count_distinct_encoded",
     "quantiles_encoded",

@@ -858,6 +858,106 @@ def group_stats_encoded(
     )
 
 
+def group_minmax_encoded(
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    colocated: bool = False,
+    where: Pred | None = None,
+) -> DataFrame:
+    """``SELECT keys, count(*), count(val), min(val), max(val) GROUP BY
+    keys`` for ANY orderable value dtype — including the types SQL SUM
+    rejects (string, timestamp, date, boolean), which group_sum/
+    group_stats_encoded correctly refuse.
+
+    Both sides stay at dictionary scale: the VALUE column also reads as
+    (codes, dictionary), its dictionary is ranked once per chunk
+    (``pc.sort_indices`` — the same total order Spark/SQL uses: binary
+    collation for strings, NaN greatest for floats), and per-group
+    min/max reduce over RANKS through the codes. The extreme VALUES come
+    back by indexing the sorted dictionary — per-row value
+    materialization never happens, for any dtype. Output: (key | the
+    named key columns, n_rows, n_vals, mn, mx); mn/mx NULL for all-null
+    groups (SQL). ``where``/``colocated`` as in group_stats_encoded."""
+    import pyarrow.compute as pc
+
+    keys, single = _norm_keys("group_minmax_encoded", key_col, val_col)
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_minmax_encoded"
+    )
+    val_dtype = dtypes[val_col]
+    out_t = typemap.spark_to_arrow(val_dtype)
+    out_names = ["key"] if single else keys
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + [val_col] + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_minmax_encoded needs every key, the value column,"
+                " and every WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        vcodes, vdict, _ = _get_codes(group, val_col, dtypes, cache)
+        if mask is not None:
+            vcodes = vcodes[mask]
+        codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
+        if m == 0:
+            return None
+        nv = len(vdict)
+        si = pc.sort_indices(vdict).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(nv + 1, dtype=np.int64)
+        rank[si] = np.arange(nv)
+        rank[nv] = -1  # null sentinel — excluded below
+        rr = rank[vcodes]
+        nn = vcodes < nv
+        nn_codes, nn_rr = codes[nn], rr[nn]
+        minr = np.full(m, nv, dtype=np.int64)
+        maxr = np.full(m, -1, dtype=np.int64)
+        np.minimum.at(minr, nn_codes, nn_rr)
+        np.maximum.at(maxr, nn_codes, nn_rr)
+        has = maxr >= 0
+        sorted_dict = vdict.take(pa.array(si, type=pa.int64())).cast(out_t)
+        mn = sorted_dict.take(
+            pa.array(np.where(has, minr, 0), type=pa.int64(), mask=~has)
+        )
+        mx = sorted_dict.take(
+            pa.array(np.where(has, maxr, 0), type=pa.int64(), mask=~has)
+        )
+        n_rows = np.bincount(codes, minlength=m).astype(np.int64)
+        n_vals = np.bincount(nn_codes, minlength=m).astype(np.int64)
+        return pa.RecordBatch.from_arrays(
+            [
+                *key_arrs,
+                pa.array(n_rows, type=pa.int64()),
+                pa.array(n_vals, type=pa.int64()),
+                mn,
+                mx,
+            ],
+            [*out_names, "__pe_nr", "__pe_nn", "__pe_mn", "__pe_mx"],
+        )
+
+    key_schema = ", ".join(f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys))
+    partials = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=(
+            f"{key_schema}, __pe_nr bigint, __pe_nn bigint,"
+            f" __pe_mn {val_dtype}, __pe_mx {val_dtype}"
+        ),
+    )
+    return partials.groupBy(*[F.col(f"`{n}`") for n in out_names]).agg(
+        F.sum("__pe_nr").alias("n_rows"),
+        F.sum("__pe_nn").alias("n_vals"),
+        F.min("__pe_mn").alias("mn"),
+        F.max("__pe_mx").alias("mx"),
+    )
+
+
 def group_sum_encoded(
     chunks: DataFrame,
     key_col: "str | list[str]",

@@ -322,3 +322,81 @@ def test_group_multikey_validation(doc_chunks):
         group_sum_encoded(doc_chunks, ["lang", "lang"], "n_chars")
     with pytest.raises(ValueError, match="cannot also be a key"):
         group_sum_encoded(doc_chunks, ["lang", "n_chars"], "n_chars")
+
+
+# ------------------------------------------------------- grouped min/max
+
+
+def test_group_minmax_orderable_dtypes(spark):
+    """min/max for the dtypes SUM rejects (string/timestamp/boolean) plus
+    float NaN ordering — the value column reduces over dictionary RANKS,
+    never rows; golden equality against Spark's own groupBy."""
+    from parquet_extra_spark.engine.encoded_agg import group_minmax_encoded
+
+    df = spark.range(2000).select(
+        (F.col("id") % 5).alias("g"),
+        F.when(
+            F.col("id") % 11 != 0,
+            F.concat(F.lit("w"), (F.col("id") * 37 % 301).cast("string")),
+        ).alias("s"),
+        F.when(F.col("id") % 13 != 0, F.timestamp_seconds(F.col("id") * 3600)).alias("ts"),
+        F.when(F.col("id") % 7 != 0, (F.col("id") % 2 == 0)).alias("b"),
+        F.when(
+            F.col("id") % 9 != 0,
+            F.when(F.col("id") % 17 == 0, F.lit(float("nan"))).otherwise(
+                F.col("id").cast("double") / 7.0
+            ),
+        ).alias("f"),
+    ).cache()
+    chunks = pes.encode(df, sort_cols=["g"], chunk_rows=256, n_buckets=2, n_salts=1).cache()
+
+    def key(r):
+        return tuple(str(v) for v in r)
+
+    for col in ["s", "ts", "b", "f"]:
+        got = sorted(
+            key(r) for r in group_minmax_encoded(chunks, "g", col).collect()
+        )
+        want = sorted(
+            key(r)
+            for r in df.groupBy(F.col("g").alias("key"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count(col).alias("n_vals"),
+                F.min(col).alias("mn"),
+                F.max(col).alias("mx"),
+            )
+            .collect()
+        )
+        assert got == want, col
+    df.unpersist()
+    chunks.unpersist()
+
+
+def test_group_minmax_where_and_multikey(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_minmax_encoded
+
+    got = sorted(
+        map(
+            tuple,
+            group_minmax_encoded(
+                doc_chunks, ["lang", "source"], "doc_id",
+                where=pes.P.ge("n_chars", 200), colocated=True,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.filter(F.col("n_chars") >= 200)
+            .groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("doc_id").alias("n_vals"),
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
