@@ -674,7 +674,18 @@ def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group extremes reduce over ranks through the codes
     (engine/encoded_agg.group_minmax_encoded)."""
     chunks, _ = _doc_chunks(spark, sf_dir)
-    return pes.group_minmax_encoded(chunks, "lang", "doc_id", colocated=True)
+    return pes.group_minmax_encoded(chunks, "lang", "source", colocated=True)
+
+
+def q_encoded_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE '%x%' / LIKE '%x' pushed into an encoded GROUP BY: substring
+    position is order-independent so chunk [min,max] stats can't prune,
+    but the exact evaluation still runs once per DICTIONARY entry —
+    |distinct| substring scans instead of |rows| (engine/predicate.Substr
+    + engine/encoded_filter)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    w = pes.P.contains("source", "7") & pes.P.endswith("lang", "n")
+    return pes.value_counts_encoded(chunks, "lang", where=w, colocated=True)
 
 
 def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
         "encoded_minmax": q_encoded_minmax,
+        "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_dim_join": q_encoded_dim_join,
         "encoded_semijoin": q_encoded_semijoin,
     }
@@ -1271,8 +1283,12 @@ def oracle_sql() -> dict[str, str]:
             )
         ),
         "encoded_minmax": (
-            "SELECT lang AS key, count(*) AS n_rows, count(doc_id) AS n_vals,"
-            " min(doc_id) AS mn, max(doc_id) AS mx FROM documents GROUP BY lang"
+            "SELECT lang AS key, count(*) AS n_rows, count(source) AS n_vals,"
+            " min(source) AS mn, max(source) AS mx FROM documents GROUP BY lang"
+        ),
+        "encoded_substr_filter": (
+            "SELECT lang AS value, count(*) AS cnt FROM documents"
+            " WHERE source LIKE '%7%' AND lang LIKE '%n' GROUP BY lang"
         ),
         "encoded_dim_join": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment"

@@ -55,6 +55,7 @@ from .predicate import (
     Or,
     Pred,
     Prefix,
+    Substr,
 )
 
 K_FALSE, K_UNKNOWN, K_TRUE = 0, 1, 2
@@ -144,6 +145,20 @@ def leaf_verdicts(pred: Pred, dict_arr: pa.Array, dtype: str) -> np.ndarray:
             )
         b = (
             pc.starts_with(dict_arr, pattern=pred.value)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool, copy=False)
+        )
+        out[:n] = np.where(b, K_TRUE, K_FALSE)
+        return out
+    if isinstance(pred, Substr):
+        if dtype != "string":
+            raise TypeError(
+                f"P.{pred.op} over non-string column ({dtype}) — the"
+                " row-level recheck rejects it too"
+            )
+        fn = pc.match_substring if pred.op == "contains" else pc.ends_with
+        b = (
+            fn(dict_arr, pattern=pred.value)
             .to_numpy(zero_copy_only=False)
             .astype(bool, copy=False)
         )

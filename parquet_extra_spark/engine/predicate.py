@@ -78,6 +78,19 @@ class Prefix(Pred):
 
 
 @dataclass(frozen=True)
+class Substr(Pred):
+    """col LIKE '%value%' (op=contains) or '%value' (op=endswith).
+    Substring position is independent of lexicographic order, so chunk
+    [min,max] stats can never prove or refute a match — the stats lane
+    keeps every non-all-null chunk (sound, never certain) and the exact
+    work happens in the DICTIONARY domain (engine/encoded_filter): one
+    substring scan per distinct value, gathered through the codes."""
+    op: str  # contains | endswith
+    column: str
+    value: str
+
+
+@dataclass(frozen=True)
 class IsNull(Pred):
     column: str
 
@@ -163,6 +176,23 @@ class P:
         return Prefix(c, prefix) if prefix else NotNull(c)
 
     @staticmethod
+    def contains(c, sub):
+        """col LIKE '%sub%'. The empty needle matches every non-null
+        string (SQL contains semantics), so it lowers to NOT NULL."""
+        if not isinstance(sub, str):
+            raise TypeError(f"P.contains({c!r}, {sub!r}): needle must be a str")
+        return Substr("contains", c, sub) if sub else NotNull(c)
+
+    @staticmethod
+    def endswith(c, suffix):
+        """col LIKE '%suffix'. The empty suffix lowers to NOT NULL."""
+        if not isinstance(suffix, str):
+            raise TypeError(
+                f"P.endswith({c!r}, {suffix!r}): suffix must be a str"
+            )
+        return Substr("endswith", c, suffix) if suffix else NotNull(c)
+
+    @staticmethod
     def is_null(c):
         return IsNull(c)
 
@@ -186,7 +216,7 @@ def prefix_successor(p: str) -> str | None:
 
 
 def referenced_columns(pred: Pred) -> set[str]:
-    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix)):
+    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr)):
         return {pred.column}
     if isinstance(pred, (And, Or)):
         return referenced_columns(pred.left) | referenced_columns(pred.right)
@@ -208,6 +238,11 @@ def to_spark(pred: Pred) -> Column:
         return F.col(f"`{pred.column}`").isin(list(pred.values))
     if isinstance(pred, Prefix):
         return F.col(f"`{pred.column}`").startswith(F.lit(pred.value))
+    if isinstance(pred, Substr):
+        col = F.col(f"`{pred.column}`")
+        if pred.op == "contains":
+            return col.contains(F.lit(pred.value))
+        return col.endswith(F.lit(pred.value))
     if isinstance(pred, IsNull):
         return F.col(f"`{pred.column}`").isNull()
     if isinstance(pred, NotNull):
@@ -541,6 +576,12 @@ def _eval_stats(
             possible = possible & (mn.isNull() | (mn < s))
             certain = certain & mx.isNotNull() & (mx < s)
         return possible, certain
+    if isinstance(pred, Substr):
+        # substring position is order-independent: [min,max] can neither
+        # refute nor prove a match — keep every chunk with a non-null row
+        # (sound), never certain; the dictionary-domain recheck is exact
+        _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
+        return nc < nv, F.lit(False)
     if isinstance(pred, IsNull):
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc > F.lit(0), nc == nv

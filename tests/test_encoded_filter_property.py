@@ -28,6 +28,7 @@ from parquet_extra_spark.engine.predicate import (
     NotNull,
     Or,
     Prefix,
+    Substr,
 )
 
 T, F, U = "T", "F", "U"
@@ -61,11 +62,17 @@ def _leaves(int_lits, str_lits):
         ).map(tuple),
     )
     prefix = st.builds(Prefix, st.just("s"), st.sampled_from(["a", "b", "ab"]))
+    substr = st.builds(
+        Substr,
+        st.sampled_from(["contains", "endswith"]),
+        st.just("s"),
+        st.sampled_from(["a", "b", "ab", "z"]),
+    )
     nulls = st.one_of(
         st.builds(IsNull, st.sampled_from(["i", "s"])),
         st.builds(NotNull, st.sampled_from(["i", "s"])),
     )
-    return st.one_of(cmp_i, cmp_s, isin_i, prefix, nulls)
+    return st.one_of(cmp_i, cmp_s, isin_i, prefix, substr, nulls)
 
 
 def _preds():
@@ -110,6 +117,9 @@ def _eval3(pred, row: dict) -> str:
         return T if _PY_OPS[pred.op](x, pred.value) else F
     if isinstance(pred, Prefix):
         return T if x.startswith(pred.value) else F
+    if isinstance(pred, Substr):
+        hit = pred.value in x if pred.op == "contains" else x.endswith(pred.value)
+        return T if hit else F
     if isinstance(pred, IsIn):
         non_null = [v for v in pred.values if v is not None]
         if x in non_null:

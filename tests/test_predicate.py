@@ -78,6 +78,25 @@ def test_startswith_matches_and_negates(table, chunks):
            F.col("g").startswith("g") & (F.col("b") != "s0"))
     # empty prefix lowers to NOT NULL; non-string prefix rejected
     _check(table, chunks, P.startswith("b", ""), F.col("b").isNotNull())
+
+
+def test_contains_and_endswith(table, chunks):
+    # substring leaves: no stats pruning exists for them (position is
+    # order-independent), so every chunk rechecks — exactness is the claim
+    _check(table, chunks, P.contains("b", "3"), F.col("b").contains("3"))
+    _check(table, chunks, ~P.contains("b", "s"), ~F.col("b").contains("s"))
+    _check(table, chunks, P.endswith("b", "1"), F.col("b").endswith("1"))
+    _check(
+        table, chunks, P.endswith("g", "2") | P.contains("b", "0"),
+        F.col("g").endswith("2") | F.col("b").contains("0"),
+    )
+    # empty needle lowers to NOT NULL; non-string needle rejected
+    _check(table, chunks, P.contains("b", ""), F.col("b").isNotNull())
+    _check(table, chunks, P.endswith("b", ""), F.col("b").isNotNull())
+    with pytest.raises(TypeError):
+        P.contains("b", 3)
+    with pytest.raises(TypeError):
+        P.endswith("b", 3)
     with pytest.raises(TypeError):
         P.startswith("b", 3)
 
