@@ -677,6 +677,17 @@ def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.group_minmax_encoded(chunks, "lang", "source", colocated=True)
 
 
+def q_encoded_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ORDER BY ... LIMIT k over encoded data: each chunk
+    emits its per-group top-k candidates from dictionary RANKS (one
+    lexsort at chunk scale, values never materialize per row), and the
+    global window runs over candidates only — the shuffle carries at
+    most chunks x groups x k rows (engine/encoded_agg
+    .group_topk_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_topk_encoded(chunks, "lang", "n_chars", 3, colocated=True)
+
+
 def q_encoded_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE '%x%' / LIKE '%x' pushed into an encoded GROUP BY: substring
     position is order-independent so chunk [min,max] stats can't prune,
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_quantiles": q_encoded_quantiles,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
+        "encoded_group_topk": q_encoded_group_topk,
         "encoded_dim_join": q_encoded_dim_join,
         "encoded_semijoin": q_encoded_semijoin,
     }
@@ -1289,6 +1301,11 @@ def oracle_sql() -> dict[str, str]:
         "encoded_substr_filter": (
             "SELECT lang AS value, count(*) AS cnt FROM documents"
             " WHERE source LIKE '%7%' AND lang LIKE '%n' GROUP BY lang"
+        ),
+        "encoded_group_topk": (
+            "SELECT key, value FROM (SELECT lang AS key, n_chars AS value,"
+            " row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rn"
+            " FROM documents WHERE n_chars IS NOT NULL) WHERE rn <= 3"
         ),
         "encoded_dim_join": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment"

@@ -28,6 +28,7 @@ from .engine.encoded_agg import (
     group_count_distinct_encoded,
     group_minmax_encoded,
     group_stats_encoded,
+    group_topk_encoded,
     group_sum_encoded,
     quantiles_encoded,
     value_counts_encoded,
@@ -102,6 +103,7 @@ __all__ = [
     "group_sum_encoded",
     "group_stats_encoded",
     "group_minmax_encoded",
+    "group_topk_encoded",
     "distinct_encoded",
     "group_count_distinct_encoded",
     "quantiles_encoded",

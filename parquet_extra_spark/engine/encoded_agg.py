@@ -958,6 +958,101 @@ def group_minmax_encoded(
     )
 
 
+def group_topk_encoded(
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    k: int,
+    desc: bool = True,
+    colocated: bool = False,
+    where: Pred | None = None,
+) -> DataFrame:
+    """Per-group ORDER BY ... LIMIT k over encoded data: the k extreme
+    VALUES of ``val_col`` within each group (SQL ``row_number() OVER
+    (PARTITION BY keys ORDER BY val) <= k`` on non-null values — the
+    result multiset is deterministic even under value ties).
+
+    Two-level top-k: each chunk emits its own per-group top-k candidates
+    straight from codec structures — group codes from key dictionaries,
+    value ORDER from the ranked value dictionary (same total order as
+    group_minmax_encoded), one lexsort at chunk scale — and the global
+    window then runs over candidates only. The union of per-chunk top-k
+    contains the global top-k, so the shuffle carries at most
+    chunks x groups x k rows, never the table. NULL values are excluded
+    (SQL ORDER BY LIMIT semantics for ranked values; use
+    group_stats_encoded's n_rows - n_vals for null accounting).
+    Output: (key | the named key columns, value)."""
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError(f"group_topk_encoded: k must be >= 1, got {k}")
+    keys, single = _norm_keys("group_topk_encoded", key_col, val_col)
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_topk_encoded"
+    )
+    val_dtype = dtypes[val_col]
+    out_t = typemap.spark_to_arrow(val_dtype)
+    out_names = ["key"] if single else keys
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + [val_col] + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_topk_encoded needs every key, the value column,"
+                " and every WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        vcodes, vdict, _ = _get_codes(group, val_col, dtypes, cache)
+        if mask is not None:
+            vcodes = vcodes[mask]
+        codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
+        if m == 0:
+            return None
+        nv = len(vdict)
+        si = pc.sort_indices(vdict).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(nv + 1, dtype=np.int64)
+        rank[si] = np.arange(nv)
+        rank[nv] = -1
+        nn = vcodes < nv  # nulls never rank
+        g, r = codes[nn], rank[vcodes[nn]]
+        if not len(g):
+            return None
+        order = np.lexsort((-r if desc else r, g))
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        lens = np.diff(np.r_[starts, len(gs)])
+        pos = np.arange(len(gs)) - np.repeat(starts, lens)
+        top = pos < k  # chunk-local per-group top-k candidates
+        sorted_dict = vdict.take(pa.array(si, type=pa.int64())).cast(out_t)
+        vals = sorted_dict.take(pa.array(r[order][top], type=pa.int64()))
+        gtake = pa.array(gs[top], type=pa.int64())
+        return pa.RecordBatch.from_arrays(
+            [*(a.take(gtake) for a in key_arrs), vals],
+            [*out_names, "value"],
+        )
+
+    key_schema = ", ".join(f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys))
+    cand = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"{key_schema}, value {val_dtype}",
+    )
+    from pyspark.sql import Window
+
+    order_col = F.col("value").desc() if desc else F.col("value").asc()
+    w = Window.partitionBy(*[F.col(f"`{n}`") for n in out_names]).orderBy(order_col)
+    return (
+        cand.withColumn("__pe_rn", F.row_number().over(w))
+        .filter(F.col("__pe_rn") <= k)
+        .drop("__pe_rn")
+    )
+
+
 def group_sum_encoded(
     chunks: DataFrame,
     key_col: "str | list[str]",

@@ -400,3 +400,64 @@ def test_group_minmax_where_and_multikey(docs, doc_chunks):
         )
     )
     assert got == want
+
+
+# ------------------------------------------------------- grouped top-k
+
+
+def test_group_topk_matches_window(spark):
+    """Per-group ORDER BY LIMIT k from codec structures: chunk-local
+    candidates via dictionary ranks, global window over candidates only.
+    Golden equality against Spark's own row_number window (the result
+    multiset is deterministic even under value ties)."""
+    from pyspark.sql import Window
+
+    from parquet_extra_spark.engine.encoded_agg import group_topk_encoded
+
+    df = spark.range(3000).select(
+        (F.col("id") % 6).alias("g"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("t"),
+        F.when(F.col("id") % 11 != 0, (F.col("id") * 37 % 149)).alias("v"),
+        F.when(
+            F.col("id") % 9 != 0,
+            F.concat(F.lit("w"), (F.col("id") * 13 % 83).cast("string")),
+        ).alias("s"),
+    ).cache()
+    chunks = pes.encode(df, sort_cols=["g"], chunk_rows=256, n_buckets=2, n_salts=1).cache()
+
+    def golden(keys, val, k, desc, flt=None):
+        d = df if flt is None else df.filter(flt)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(val).desc() if desc else F.col(val).asc()
+        )
+        return (
+            d.filter(F.col(val).isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(*keys, F.col(val).alias("value"))
+        )
+
+    got = sorted(map(tuple, group_topk_encoded(chunks, "g", "v", 5).collect()))
+    want = sorted(
+        map(tuple, golden(["g"], "v", 5, True).withColumnRenamed("g", "key").collect())
+    )
+    assert got == want
+
+    got = sorted(
+        map(
+            tuple,
+            group_topk_encoded(
+                chunks, ["g", "t"], "s", 4, desc=False,
+                where=pes.P.ge("v", 50), colocated=True,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, golden(["g", "t"], "s", 4, False, F.col("v") >= 50).collect())
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="k must be"):
+        group_topk_encoded(chunks, "g", "v", 0)
+    df.unpersist()
+    chunks.unpersist()
