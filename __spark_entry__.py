@@ -699,6 +699,15 @@ def q_encoded_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.value_counts_encoded(chunks, "lang", where=w, colocated=True)
 
 
+def _orders_chunks(spark: SparkSession, sf_dir: str):
+    """Cached encode of the orders table (shared by the join queries)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return pes.encode(
+        o, partition_cols=["o_orderstatus"], sort_cols=["o_orderkey"],
+        chunk_rows=4096, n_buckets=4, n_salts=1, num_partitions=8,
+    ).cache()
+
+
 def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-over-compressed (engine/encoded_join): the dim's key set is
     pushed as chunk pruning (membership digests + min/max, data-shaped
@@ -706,11 +715,7 @@ def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pc.index_in over distinct values, never per row), and payload
     columns decode only for surviving rows — the C-Store "invisible
     join" with a broadcast dim and a map-only fact side."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    chunks = pes.encode(
-        o, partition_cols=["o_orderstatus"], sort_cols=["o_orderkey"],
-        chunk_rows=4096, n_buckets=4, n_salts=1, num_partitions=8,
-    )
+    chunks = _orders_chunks(spark, sf_dir)
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select("c_custkey", "c_mktsegment")
@@ -719,6 +724,23 @@ def q_encoded_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks, ("o_custkey", "c_custkey"), dim,
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
         where=pes.P.gt("o_totalprice", 150000.0), colocated=True,
+    )
+
+
+def q_encoded_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join over encoded data: every fact row survives, misses fill
+    dim columns with NULL — no key pruning (all rows are needed), the
+    dim still matches once per dictionary entry and ships once per
+    executor as a broadcast {key: row} map."""
+    chunks = _orders_chunks(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return pes.join_encoded(
+        chunks, ("o_custkey", "c_custkey"), dim,
+        columns=["o_orderkey", "o_custkey"], how="left", colocated=True,
     )
 
 
@@ -927,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_group_topk": q_encoded_group_topk,
         "encoded_dim_join": q_encoded_dim_join,
+        "encoded_left_join": q_encoded_left_join,
         "encoded_semijoin": q_encoded_semijoin,
     }
 
@@ -1311,6 +1334,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " WHERE o_totalprice > 150000"
+        ),
+        "encoded_left_join": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders"
+            " LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer"
+            " WHERE c_acctbal > 5000) d ON o_custkey = c_custkey"
         ),
         "encoded_semijoin": (
             "SELECT doc_id, lang, n_chars FROM documents"

@@ -45,7 +45,7 @@ from .decoder import _spark_schema, discover_schema
 from .encoded_agg import _build_mask, _dtype_map, _get_codes, _pair_stream, _pair_work
 from .predicate import P, Pred, prune_chunks, referenced_columns
 
-_HOW = ("inner", "semi", "anti")
+_HOW = ("inner", "left", "semi", "anti")
 
 
 def _norm_on(on) -> tuple[str, str]:
@@ -74,10 +74,12 @@ def join_encoded(
     which this operator refuses rather than silently first-matches).
 
     ``columns`` — fact columns to materialize (default: all).
-    ``dim_columns`` — dim columns to attach (inner only; default: every
-    dim column except the key). ``how`` — ``inner`` | ``semi`` | ``anti``
-    (semi/anti return fact columns only; anti keeps null-key fact rows,
-    matching Spark's left_anti / SQL NOT EXISTS).
+    ``dim_columns`` — dim columns to attach (inner/left; default: every
+    dim column except the key). ``how`` — ``inner`` | ``left`` | ``semi``
+    | ``anti``. semi/anti return fact columns only; anti keeps null-key
+    fact rows, matching Spark's left_anti / SQL NOT EXISTS; left keeps
+    every (WHERE-surviving) fact row and fills dim columns with NULL on
+    misses — note only inner/semi prune chunks by the key set.
 
     ``where`` composes a pushed fact-side predicate: it joins the key set
     in the chunk-pruning pass and masks rows in the dictionary domain
@@ -100,7 +102,9 @@ def join_encoded(
         raise ValueError(f"join_encoded: dim_columns make no sense with how={how!r}")
     if dim_columns is None:
         dim_columns = (
-            [c for c in dim.columns if c != dim_key] if how == "inner" else []
+            [c for c in dim.columns if c != dim_key]
+            if how in ("inner", "left")
+            else []
         )
     unknown_dim = [c for c in dim_columns if c not in dim.columns]
     if unknown_dim:
@@ -153,25 +157,38 @@ def join_encoded(
 
     # ---- output schema: fact columns (their encoded dtypes) + dim fields
     out_schema = _spark_schema([(c, i, dtypes[c]) for i, c in enumerate(columns)])
-    dim_schema = dim.select(*dim_columns).schema if dim_columns else T.StructType([])
-    out_struct = T.StructType(list(out_schema.fields) + list(dim_schema.fields))
+    dim_fields = list(dim.select(*dim_columns).schema.fields) if dim_columns else []
+    if how == "left":
+        # misses fill dim columns with NULL — the output fields must be
+        # nullable regardless of the dim's own nullability
+        dim_fields = [
+            T.StructField(f.name, f.dataType, nullable=True) for f in dim_fields
+        ]
+    out_struct = T.StructType(list(out_schema.fields) + dim_fields)
 
     spark = chunks.sparkSession
-    if not len(dim_keys) and how != "anti":
+    key_list = dim_keys.to_pylist()
+    if not key_list and how in ("inner", "semi"):
         # empty dim: inner/semi results are empty by definition
         return spark.createDataFrame([], out_struct)
 
-    # ---- metadata pruning ----
+    # ---- metadata pruning (only inner/semi may skip chunks by key) ----
     pred = where
-    if how != "anti":
+    if how in ("inner", "semi"):
         # the key set as a pushed IN-list; >64 values take the data-shaped
         # broadcast form inside prune_chunks, never per-value expressions
-        key_pred = P.isin(fact_key, dim_keys.to_pylist())
+        key_pred = P.isin(fact_key, key_list)
         pred = key_pred if pred is None else (pred & key_pred)
     pruned = chunks if pred is None else prune_chunks(chunks, pred, schema_cols)
 
-    bc = spark.sparkContext.broadcast((dim_keys, dim_arrays))
-    anti = how == "anti"
+    # key -> dim row index, built ONCE on the driver and shipped as a
+    # broadcast: each executor deserializes it once and every chunk pays
+    # O(|dictionary|) lookups — never a per-chunk rebuild of a hash table
+    # over the full key set (at a 2M-key dim x thousands of chunks per
+    # task, re-hashing the big side per chunk would dominate)
+    lookup = {v: i for i, v in enumerate(key_list)}
+    bc = spark.sparkContext.broadcast((lookup, dim_arrays))
+    anti, left = how == "anti", how == "left"
     out_ts = {c: typemap.spark_to_arrow(dtypes[c]) for c in columns}
     where_pred = where
 
@@ -184,15 +201,25 @@ def join_encoded(
                 " needs the key, every output column, and every WHERE column"
                 " in the chunk table"
             )
-        b_keys, b_arrays = bc.value
+        b_lookup, b_arrays = bc.value
         cache: dict = {}
         codes, dict_arr, _ = _get_codes(group, fact_key, dtypes, cache)
-        # match ONCE per dictionary entry; sentinel len(dict) = null key
-        match = pc.index_in(dict_arr.cast(key_t), value_set=b_keys)
-        match_np = match.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-        ext = np.concatenate([match_np, np.array([-1], dtype=np.int64)])
+        # match ONCE per dictionary entry (O(|dict|) dict lookups against
+        # the broadcast map); sentinel len(dict) = null key, never matches
+        entries = dict_arr.cast(key_t).to_pylist()
+        ext = np.fromiter(
+            (b_lookup.get(v, -1) for v in entries),
+            dtype=np.int64,
+            count=len(entries),
+        )
+        ext = np.concatenate([ext, np.array([-1], dtype=np.int64)])
         didx = ext[codes]
-        keep = (didx < 0) if anti else (didx >= 0)
+        if left:
+            keep = np.ones(len(codes), dtype=bool)
+        elif anti:
+            keep = didx < 0
+        else:
+            keep = didx >= 0
         if where_pred is not None:
             keep &= _build_mask(group, where_pred, dtypes, cache)
         idx = np.nonzero(keep)[0]
@@ -218,8 +245,10 @@ def join_encoded(
                     f" {len(arr)}/{n_values} != {n_rows}"
                 )
             arrays.append(arr.take(take))
-        if not anti:
-            dtake = pa.array(didx[idx], type=pa.int64())
+        if dim_columns:
+            d = didx[idx]
+            # null dim row index -> null dim values (left-join misses)
+            dtake = pa.array(np.where(d >= 0, d, 0), type=pa.int64(), mask=d < 0)
             for c in dim_columns:
                 arrays.append(b_arrays[c].take(dtake))
         return pa.RecordBatch.from_arrays(

@@ -94,6 +94,34 @@ def test_semi_and_anti_match_spark(fact, fact_chunks, dim):
     assert any(k is None for _, k in got_anti)
 
 
+def test_left_join_matches_spark(fact, fact_chunks, dim):
+    got = join_encoded(
+        fact_chunks, ("k", "dk"), dim, columns=["rid", "k", "v"], how="left"
+    )
+    want = fact.join(dim, fact.k == dim.dk, "left").select(
+        "rid", "k", "v", "dname", "dval"
+    )
+    cols = ["rid", "k", "v", "dname", "dval"]
+    got_rows = _rows(got, cols)
+    assert got_rows == _rows(want, cols)
+    # misses (incl. null-key rows) survive with NULL dim columns
+    assert any(r[3] is None and r[4] is None for r in got_rows)
+
+    # left + where: fact rows filter first, misses still null-filled
+    gotw = join_encoded(
+        fact_chunks, ("k", "dk"), dim, columns=["rid", "v"], how="left",
+        where=P.lt("v", 100),
+    )
+    wantw = (
+        fact.filter(F.col("v") < 100)
+        .join(dim, fact.k == dim.dk, "left")
+        .select("rid", "v", "dname", "dval")
+    )
+    assert _rows(gotw, ["rid", "v", "dname", "dval"]) == _rows(
+        wantw, ["rid", "v", "dname", "dval"]
+    )
+
+
 def test_empty_dim(spark, fact, fact_chunks, dim):
     empty = dim.filter(F.lit(False))
     assert join_encoded(fact_chunks, ("k", "dk"), empty, columns=["rid"]).count() == 0
@@ -101,6 +129,10 @@ def test_empty_dim(spark, fact, fact_chunks, dim):
         join_encoded(fact_chunks, ("k", "dk"), empty, columns=["rid"], how="anti").count()
         == fact.count()
     )
+    # empty dim + left: every fact row, all dim columns NULL
+    el = join_encoded(fact_chunks, ("k", "dk"), empty, columns=["rid"], how="left")
+    assert el.count() == fact.count()
+    assert el.filter(F.col("dname").isNotNull()).count() == 0
 
 
 def test_duplicate_dim_keys_raise(spark, fact_chunks, dim):
