@@ -629,6 +629,18 @@ def q_encoded_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.distinct_encoded(chunks, "source", where=pes.P.eq("lang", "en"))
 
 
+def q_encoded_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT a, b over encoded data: the columns' dictionary
+    codes stack and compact per chunk (np.unique over code tuples), so
+    combinations materialize at per-chunk-distinct scale; a Catalyst
+    distinct over those tiny rows finishes."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.distinct_encoded(
+        chunks, ["lang", "source"], where=pes.P.ge("n_chars", 200),
+        colocated=True,
+    )
+
+
 def q_encoded_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped COUNT(DISTINCT ...) over encoded data: per chunk,
     np.unique over the stacked (key, value) dictionary codes emits the
@@ -942,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_write_roundtrip": q_datasource_write_roundtrip,
         "encoded_filtered_sum": q_encoded_filtered_sum,
         "encoded_distinct": q_encoded_distinct,
+        "encoded_distinct_multi": q_encoded_distinct_multi,
         "encoded_count_distinct": q_encoded_count_distinct,
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
@@ -1301,6 +1314,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "encoded_distinct": (
             "SELECT DISTINCT source AS value FROM documents WHERE lang = 'en'"
+        ),
+        "encoded_distinct_multi": (
+            "SELECT DISTINCT lang, source FROM documents WHERE n_chars >= 200"
         ),
         "encoded_count_distinct": (
             "SELECT lang AS key, count(DISTINCT source) AS nd"

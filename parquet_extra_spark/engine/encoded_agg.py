@@ -256,7 +256,7 @@ def _value_counts_filtered(
 
 def distinct_encoded(
     chunks: DataFrame,
-    column: str,
+    column: "str | list[str]",
     where: Pred | None = None,
     colocated: bool = False,
 ) -> DataFrame:
@@ -271,7 +271,15 @@ def distinct_encoded(
     rows masked in the dictionary domain first (a code must survive the
     mask for its value to count as present); ``colocated`` then applies
     to the per-chunk column pairing (_pair_work) and is irrelevant
-    without ``where`` (the unfiltered path is map-only)."""
+    without ``where`` (the unfiltered path is map-only).
+
+    A LIST of columns gives multi-column DISTINCT (``SELECT DISTINCT a,
+    b``): per chunk the columns' dictionary codes stack and compact via
+    ``np.unique(axis=0)`` (_key_codes — the group-by machinery, with
+    every column a key), so combinations materialize only at
+    per-chunk-distinct scale; output columns keep their real names."""
+    if isinstance(column, (list, tuple)):
+        return _distinct_multi(chunks, list(column), where, colocated)
     if where is not None:
         return _distinct_filtered(chunks, column, where, colocated)
     dtype = _column_dtype(chunks, column)
@@ -304,6 +312,42 @@ def distinct_encoded(
                     yield pa.RecordBatch.from_arrays([values], ["value"])
 
     return work.mapInArrow(fn, schema=f"value {dtype}").distinct()
+
+
+def _distinct_multi(
+    chunks: DataFrame, cols: list[str], where: Pred | None, colocated: bool
+) -> DataFrame:
+    """Multi-column DISTINCT: chunk-local combination compaction via the
+    stacked-dictionary-codes machinery, Catalyst distinct to finish."""
+    if not cols:
+        raise ValueError("distinct_encoded needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"distinct_encoded: duplicate columns {cols}")
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(chunks, cols + refs, "distinct_encoded")
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, cols + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in cols + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " distinct_encoded needs every projected column and every"
+                " WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        _, m, key_arrs = _key_codes(group, cols, dtypes, mask, cache)
+        if m == 0:
+            return None
+        return pa.RecordBatch.from_arrays(list(key_arrs), cols)
+
+    schema = ", ".join(f"`{c}` {dtypes[c]}" for c in cols)
+    return work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit), schema=schema
+    ).distinct()
 
 
 def _distinct_filtered(

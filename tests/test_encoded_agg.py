@@ -461,3 +461,38 @@ def test_group_topk_matches_window(spark):
         group_topk_encoded(chunks, "g", "v", 0)
     df.unpersist()
     chunks.unpersist()
+
+
+def test_distinct_multi_matches_spark(docs, doc_chunks):
+    """SELECT DISTINCT a, b from stacked dictionary codes — combinations
+    materialize at per-chunk-distinct scale only."""
+    from parquet_extra_spark.engine.encoded_agg import distinct_encoded
+
+    got = sorted(map(tuple, distinct_encoded(doc_chunks, ["lang", "source"]).collect()))
+    want = sorted(map(tuple, docs.select("lang", "source").distinct().collect()))
+    assert got == want
+
+    got = sorted(
+        map(
+            tuple,
+            distinct_encoded(
+                doc_chunks, ["lang", "source"],
+                where=pes.P.ge("n_chars", 200), colocated=True,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.filter(F.col("n_chars") >= 200)
+            .select("lang", "source")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="duplicate"):
+        distinct_encoded(doc_chunks, ["lang", "lang"])
+    with pytest.raises(ValueError, match="at least one"):
+        distinct_encoded(doc_chunks, [])
