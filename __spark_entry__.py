@@ -711,6 +711,17 @@ def q_encoded_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pes.value_counts_encoded(chunks, "lang", where=w, colocated=True)
 
 
+def q_encoded_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLIKE pushed into an encoded GROUP BY: the anchored literal head
+    of the pattern ('src1') prunes chunks through the Prefix stats range
+    (engine/predicate.rlike_prefix), and the full regex evaluates once
+    per DICTIONARY entry, gathered through the codes — |distinct| regex
+    searches instead of |rows| (engine/encoded_filter.Rlike lane)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    w = pes.P.rlike("source", "^src1[0-9]$")
+    return pes.value_counts_encoded(chunks, "lang", where=w, colocated=True)
+
+
 def _orders_chunks(spark: SparkSession, sf_dir: str):
     """Cached encode of the orders table (shared by the join queries)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_quantiles": q_encoded_quantiles,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
+        "encoded_regex_filter": q_encoded_regex_filter,
         "encoded_group_topk": q_encoded_group_topk,
         "encoded_dim_join": q_encoded_dim_join,
         "encoded_left_join": q_encoded_left_join,
@@ -1340,6 +1352,10 @@ def oracle_sql() -> dict[str, str]:
         "encoded_substr_filter": (
             "SELECT lang AS value, count(*) AS cnt FROM documents"
             " WHERE source LIKE '%7%' AND lang LIKE '%n' GROUP BY lang"
+        ),
+        "encoded_regex_filter": (
+            "SELECT lang AS value, count(*) AS cnt FROM documents"
+            " WHERE regexp_matches(source, '^src1[0-9]$') GROUP BY lang"
         ),
         "encoded_group_topk": (
             "SELECT key, value FROM (SELECT lang AS key, n_chars AS value,"

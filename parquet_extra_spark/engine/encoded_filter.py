@@ -39,6 +39,7 @@ membership exact across types).
 from __future__ import annotations
 
 import operator
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -55,6 +56,7 @@ from .predicate import (
     Or,
     Pred,
     Prefix,
+    Rlike,
     Substr,
 )
 
@@ -163,6 +165,21 @@ def leaf_verdicts(pred: Pred, dict_arr: pa.Array, dtype: str) -> np.ndarray:
             .astype(bool, copy=False)
         )
         out[:n] = np.where(b, K_TRUE, K_FALSE)
+        return out
+    if isinstance(pred, Rlike):
+        if dtype != "string":
+            raise TypeError(
+                f"P.rlike over non-string column ({dtype}) — the"
+                " row-level recheck (Column.rlike) rejects it too"
+            )
+        # one unanchored search per DICTIONARY entry (Python re — the
+        # portable-subset contract is on the Rlike dataclass), gathered
+        # through the codes like every other leaf; |dictionary| regex
+        # evaluations, never |rows|
+        rx = re.compile(pred.pattern)
+        vals = dict_arr.to_pylist()
+        for i, x in enumerate(vals):
+            out[i] = K_TRUE if rx.search(x) else K_FALSE
         return out
     if isinstance(pred, IsIn):
         # Python-set membership over the dictionary: the numeric tower

@@ -303,7 +303,9 @@ def _rewrite_pred_paths(pred, schema: T.StructType) -> "object":
     fields reached through records, Predicate.scala:47-183)."""
     from dataclasses import replace
 
-    from .predicate import And, Cmp, IsIn, IsNull, Not, NotNull, Or, Prefix, Substr
+    from .predicate import (
+        And, Cmp, IsIn, IsNull, Not, NotNull, Or, Prefix, Rlike, Substr,
+    )
 
     def leaf_of(path: str) -> str:
         dt = _resolve(schema, path)
@@ -322,7 +324,7 @@ def _rewrite_pred_paths(pred, schema: T.StructType) -> "object":
         return leaf
 
     def walk(p):
-        if isinstance(p, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr)):
+        if isinstance(p, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr, Rlike)):
             return replace(p, column=leaf_of(p.column))
         if isinstance(p, (And, Or)):
             return replace(p, left=walk(p.left), right=walk(p.right))

@@ -32,6 +32,8 @@ Soundness notes:
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass
 from functools import reduce
 
@@ -88,6 +90,23 @@ class Substr(Pred):
     op: str  # contains | endswith
     column: str
     value: str
+
+
+@dataclass(frozen=True)
+class Rlike(Pred):
+    """col RLIKE 'pattern' — unanchored regex search, the reference
+    surface being Spark's ``Column.rlike``. Like Substr, [min,max] stats
+    can never PROVE a match; but a pattern anchored at ``^`` with a
+    literal head implies a mandatory prefix, so the stats lane prunes
+    with the Prefix range (possible only, never certain). The exact
+    evaluation runs once per DICTIONARY entry (engine/encoded_filter).
+
+    Dialect contract: the dictionary lane uses Python ``re.search``, the
+    row-level recheck uses JVM ``java.util.regex`` (Column.rlike), and
+    external oracles typically use RE2 — stick to the portable common
+    subset (literals, classes, anchors, ``.*+?|()``) so all three agree."""
+    column: str
+    pattern: str
 
 
 @dataclass(frozen=True)
@@ -193,6 +212,22 @@ class P:
         return Substr("endswith", c, suffix) if suffix else NotNull(c)
 
     @staticmethod
+    def rlike(c, pattern):
+        """col RLIKE 'pattern' (unanchored search, Spark semantics). The
+        pattern is compiled eagerly so a malformed regex fails at build
+        time, not inside an executor; the empty pattern matches every
+        non-null string and lowers to NOT NULL."""
+        if not isinstance(pattern, str):
+            raise TypeError(f"P.rlike({c!r}, {pattern!r}): pattern must be a str")
+        if not pattern:
+            return NotNull(c)
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"P.rlike({c!r}, {pattern!r}): bad regex: {e}") from e
+        return Rlike(c, pattern)
+
+    @staticmethod
     def is_null(c):
         return IsNull(c)
 
@@ -215,8 +250,32 @@ def prefix_successor(p: str) -> str | None:
     return None
 
 
+_RE_META = set("\\.[]{}()*+?|^$")
+
+
+def rlike_prefix(pattern: str) -> str | None:
+    """Mandatory literal prefix implied by a ``^``-anchored pattern, or
+    None when no sound prefix exists. Sound because: (a) any ``|`` in
+    the pattern may escape the anchor entirely (``^ab|cd`` matches
+    "xxcd"), so alternation disables extraction; (b) the literal run
+    stops at the first metacharacter — whatever follows must still match
+    AFTER the extracted head; (c) a trailing ``* ? {`` quantifier makes
+    the preceding literal optional, so it is dropped (``+`` keeps it:
+    at least one occurrence is mandatory)."""
+    if not pattern.startswith("^") or "|" in pattern:
+        return None
+    out: list[str] = []
+    i = 1
+    while i < len(pattern) and pattern[i] not in _RE_META:
+        out.append(pattern[i])
+        i += 1
+    if out and i < len(pattern) and pattern[i] in "*?{":
+        out.pop()
+    return "".join(out) or None
+
+
 def referenced_columns(pred: Pred) -> set[str]:
-    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr)):
+    if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr, Rlike)):
         return {pred.column}
     if isinstance(pred, (And, Or)):
         return referenced_columns(pred.left) | referenced_columns(pred.right)
@@ -243,6 +302,8 @@ def to_spark(pred: Pred) -> Column:
         if pred.op == "contains":
             return col.contains(F.lit(pred.value))
         return col.endswith(F.lit(pred.value))
+    if isinstance(pred, Rlike):
+        return F.col(f"`{pred.column}`").rlike(pred.pattern)
     if isinstance(pred, IsNull):
         return F.col(f"`{pred.column}`").isNull()
     if isinstance(pred, NotNull):
@@ -582,6 +643,20 @@ def _eval_stats(
         # (sound), never certain; the dictionary-domain recheck is exact
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc < nv, F.lit(False)
+    if isinstance(pred, Rlike):
+        # a regex can never be PROVEN by [min,max]; but an anchored
+        # literal head (rlike_prefix) is a necessary condition, so its
+        # Prefix range bounds `possible` — e.g. where=P.rlike("path",
+        # "^src/.*\\.py$") skips every chunk outside ["src/", "src0")
+        # on a path-clustered table. Non-string dtypes keep every
+        # non-null chunk (the recheck raises there, as Substr does).
+        _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
+        has_non_null = nc < nv
+        prefix = rlike_prefix(pred.pattern)
+        if prefix is not None and dtypes[pred.column] == "string":
+            possible, _ = _eval_stats(Prefix(pred.column, prefix), dtypes, env)
+            return possible, F.lit(False)
+        return has_non_null, F.lit(False)
     if isinstance(pred, IsNull):
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc > F.lit(0), nc == nv

@@ -28,6 +28,7 @@ from parquet_extra_spark.engine.predicate import (
     NotNull,
     Or,
     Prefix,
+    Rlike,
     Substr,
 )
 
@@ -68,11 +69,16 @@ def _leaves(int_lits, str_lits):
         st.just("s"),
         st.sampled_from(["a", "b", "ab", "z"]),
     )
+    rlike = st.builds(
+        Rlike,
+        st.just("s"),
+        st.sampled_from(["a", "^a", "b$", "^a.$", "a+b", "^$", "^(a|z)b"]),
+    )
     nulls = st.one_of(
         st.builds(IsNull, st.sampled_from(["i", "s"])),
         st.builds(NotNull, st.sampled_from(["i", "s"])),
     )
-    return st.one_of(cmp_i, cmp_s, isin_i, prefix, substr, nulls)
+    return st.one_of(cmp_i, cmp_s, isin_i, prefix, substr, rlike, nulls)
 
 
 def _preds():
@@ -120,6 +126,10 @@ def _eval3(pred, row: dict) -> str:
     if isinstance(pred, Substr):
         hit = pred.value in x if pred.op == "contains" else x.endswith(pred.value)
         return T if hit else F
+    if isinstance(pred, Rlike):
+        import re
+
+        return T if re.search(pred.pattern, x) else F
     if isinstance(pred, IsIn):
         non_null = [v for v in pred.values if v is not None]
         if x in non_null:

@@ -121,6 +121,54 @@ def test_startswith_prunes_and_is_sound(spark):
     assert sorted(r["k"] for r in got.select("k").collect()) == list(range(300))
 
 
+def test_rlike_matches_spark(table, chunks):
+    # exactness vs Column.rlike, incl. NOT and composition; empty
+    # pattern lowers to NOT NULL, bad regex / non-str rejected at build
+    _check(table, chunks, P.rlike("b", "^s[0-3]$"), F.col("b").rlike("^s[0-3]$"))
+    _check(table, chunks, ~P.rlike("b", "3"), ~F.col("b").rlike("3"))
+    _check(table, chunks, P.rlike("g", "g[12]") & P.ne("b", "s0"),
+           F.col("g").rlike("g[12]") & (F.col("b") != "s0"))
+    _check(table, chunks, P.rlike("b", ""), F.col("b").isNotNull())
+    with pytest.raises(TypeError):
+        P.rlike("b", 3)
+    with pytest.raises(ValueError, match="bad regex"):
+        P.rlike("b", "([")
+
+
+def test_rlike_prefix_extraction():
+    from parquet_extra_spark.engine.predicate import rlike_prefix
+
+    assert rlike_prefix("^apple") == "apple"
+    assert rlike_prefix(r"^src/.*\.py$") == "src/"
+    assert rlike_prefix("^ab*c") == "a"      # * makes the b optional
+    assert rlike_prefix("^ab?c") == "a"      # ? likewise
+    assert rlike_prefix("^ab{0,2}") == "a"   # { may allow zero
+    assert rlike_prefix("^ab+") == "ab"      # + keeps >=1 mandatory
+    assert rlike_prefix("^a(bc)d") == "a"
+    assert rlike_prefix("^ab|cd") is None    # alternation escapes ^
+    assert rlike_prefix("apple") is None     # unanchored
+    assert rlike_prefix("^[ab]") is None     # no literal head
+    assert rlike_prefix("^a$") == "a"
+
+
+def test_rlike_anchored_prefix_prunes(spark):
+    # same tiling layout as the startswith prune test: the anchored
+    # pattern's literal head must skip the zebra chunk, and the regex
+    # tail must still filter exactly within the kept chunk
+    df = spark.createDataFrame(
+        [(i, ("apple%03d" if i < 300 else "zebra%03d") % i) for i in range(600)],
+        "k bigint, w string",
+    )
+    chunks = pes.encode(df, partition_cols=[], sort_cols=["w"], chunk_rows=300,
+                        n_buckets=1, n_salts=1, unit_sort=True).cache()
+    pred = pes.P.rlike("w", "^apple[0-9]*[02468]$")
+    rep = pes.pushdown_stats_pred(chunks, pred)
+    assert rep["chunks_kept"] < rep["chunks_total"]
+    got = pes.filter_decode_pred(chunks, pred)
+    assert sorted(r["k"] for r in got.select("k").collect()) == list(range(0, 300, 2))
+    chunks.unpersist()
+
+
 def test_variadic_helpers(table, chunks):
     pred = P.and_(P.ge("k", 100), P.le("k", 900), P.or_(P.eq("b", "s2"), P.eq("b", "s4")))
     _check(table, chunks, pred,
