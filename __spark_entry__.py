@@ -679,6 +679,20 @@ def q_encoded_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + exact discrete quantiles from codec structures: per
+    chunk the stacked (key, value) dictionary codes collapse to
+    (key, value, count) partials at per-chunk-distinct scale, and one
+    running-count window PARTITIONED BY key locates rank
+    max(1, ceil(q*n)) per group — the grouped analogue of
+    encoded_quantiles; work scales with distinct values per group, never
+    rows (engine/encoded_agg.group_quantiles_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_quantiles_encoded(
+        chunks, "lang", "n_chars", [0.25, 0.5, 0.9], colocated=True
+    )
+
+
 def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
     the VALUE column also stays at dictionary scale — its dictionary is
@@ -969,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_count_distinct": q_encoded_count_distinct,
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
+        "encoded_group_quantiles": q_encoded_group_quantiles,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1343,6 +1358,14 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT CAST({q} AS DOUBLE) AS q,"
                 f" quantile_disc(n_chars, {q}) AS value FROM documents"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9)
+            )
+        ),
+        "encoded_group_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT lang AS key, CAST({q} AS DOUBLE) AS q,"
+                f" quantile_disc(n_chars, {q}) AS value"
+                " FROM documents GROUP BY lang"
+                for q in (0.25, 0.5, 0.9)
             )
         ),
         "encoded_minmax": (

@@ -27,6 +27,7 @@ from .engine.encoded_agg import (
     distinct_encoded,
     group_count_distinct_encoded,
     group_minmax_encoded,
+    group_quantiles_encoded,
     group_stats_encoded,
     group_topk_encoded,
     group_sum_encoded,
@@ -106,6 +107,7 @@ __all__ = [
     "group_topk_encoded",
     "distinct_encoded",
     "group_count_distinct_encoded",
+    "group_quantiles_encoded",
     "quantiles_encoded",
     "topk_encoded",
     "join_encoded",

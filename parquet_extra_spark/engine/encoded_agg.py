@@ -530,6 +530,130 @@ def quantiles_encoded(
     return joined.groupBy("q").agg(F.min("value").alias("value"))
 
 
+def group_quantiles_encoded(
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    val_col: str,
+    qs: list[float],
+    where: Pred | None = None,
+    colocated: bool = False,
+) -> DataFrame:
+    """Exact discrete quantiles PER GROUP over encoded data:
+    ``SELECT keys, quantile_disc(val, q) GROUP BY keys`` for each q.
+    Per chunk, np.unique over the stacked (key codes..., val code)
+    columns with counts yields (keys, value, cnt) partials — both sides
+    read as dictionary codes, so values materialize at per-chunk-distinct
+    scale, never per row. Catalyst collapses cross-chunk duplicates,
+    then one running-count window PARTITIONED BY the keys locates rank
+    ``max(1, ceil(q*n))`` among each group's n non-null values (the same
+    discrete-quantile rule quantiles_encoded uses; NULL values are
+    ignored, a group whose values are all NULL reports NULL, and NULL
+    keys group together — SQL semantics throughout).
+
+    Output: (key | the named key columns, q:double, value:<val dtype>),
+    one row per group per requested q. ``where``/``colocated`` behave as
+    in group_stats_encoded.
+
+    Scale shape: the window parallelizes across groups; within one group
+    the work is its distinct-value count, bounded by the union of its
+    chunks' dictionaries — the operator targets dict/RLE-friendly value
+    columns. For a single giant group at high cardinality use the
+    range-partitioned global path (quantiles_encoded(distributed=True))
+    with a pre-filter on the key."""
+    from pyspark.sql import Window
+
+    keys, single = _norm_keys("group_quantiles_encoded", key_col, val_col)
+    if not qs:
+        raise ValueError("group_quantiles_encoded needs at least one q")
+    bad = [q for q in qs if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(f"group_quantiles_encoded: q out of [0,1]: {bad}")
+    uq = [float(q) for q in dict.fromkeys(qs)]
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + [val_col] + refs, "group_quantiles_encoded"
+    )
+    out_names = ["key"] if single else keys
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + [val_col] + refs, colocated)
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + [val_col] + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_quantiles_encoded needs every key, the value"
+                " column, and every WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        per, dicts = [], []
+        for c in keys + [val_col]:
+            codes, dict_arr, _ = _get_codes(group, c, dtypes, cache)
+            if mask is not None:
+                codes = codes[mask]
+            per.append(codes)
+            dicts.append(dict_arr)
+        stacked = np.stack(per, axis=1)
+        uniq, cnts = np.unique(stacked, axis=0, return_counts=True)
+        if not len(uniq):
+            return None
+        outs = []
+        for k, c in enumerate(keys + [val_col]):
+            out_t = typemap.spark_to_arrow(dtypes[c])
+            full = pa.concat_arrays([dicts[k].cast(out_t), pa.nulls(1, type=out_t)])
+            outs.append(full.take(pa.array(uniq[:, k], type=pa.int64())))
+        outs.append(pa.array(cnts.astype(np.int64), type=pa.int64()))
+        return pa.RecordBatch.from_arrays(outs, [*out_names, "__pe_v", "__pe_c"])
+
+    key_schema = ", ".join(f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys))
+    pairs = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"{key_schema}, __pe_v {dtypes[val_col]}, __pe_c bigint",
+    )
+    kcols = [F.col(f"`{n}`") for n in out_names]
+    vc = pairs.groupBy(*kcols, F.col("__pe_v")).agg(
+        F.sum("__pe_c").alias("__pe_c")
+    )
+    spark = chunks.sparkSession
+    q_df = spark.createDataFrame([(q,) for q in uq], "q double")
+    # every (group, q) pair must appear in the output even when the
+    # group's values are all NULL — build the base grid first
+    grid = vc.select(*kcols).distinct().crossJoin(F.broadcast(q_df)).alias("g")
+    wk = Window.partitionBy(*out_names)
+    wcum = (
+        Window.partitionBy(*out_names)
+        .orderBy(F.col("__pe_v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nn = (
+        vc.filter(F.col("__pe_v").isNotNull())
+        .select(
+            *kcols,
+            "__pe_v",
+            F.sum("__pe_c").over(wcum).alias("__pe_cum"),
+            F.sum("__pe_c").over(wk).alias("__pe_n"),
+        )
+        .alias("v")
+    )
+    # null-safe key equality (NULL keys are real groups) + the rank
+    # reach condition; the quantile is the FIRST value whose running
+    # count reaches rank — F.min over the reached rows
+    cond = F.lit(True)
+    for n in out_names:
+        cond = cond & F.col(f"g.`{n}`").eqNullSafe(F.col(f"v.`{n}`"))
+    cond = cond & (
+        F.col("v.__pe_cum")
+        >= F.greatest(F.lit(1), F.ceil(F.col("g.q") * F.col("v.__pe_n")))
+    )
+    return (
+        grid.join(nn, cond, "left")
+        .groupBy(*[F.col(f"g.`{n}`").alias(n) for n in out_names], F.col("g.q"))
+        .agg(F.min(F.col("v.__pe_v")).alias("value"))
+    )
+
+
 def _quantiles_distributed(vc, uq: list[float], spark) -> DataFrame:
     """High-cardinality rank selection (see quantiles_encoded): locate
     each rank's range partition from P collected subtotals, then window

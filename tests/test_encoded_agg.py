@@ -496,3 +496,91 @@ def test_distinct_multi_matches_spark(docs, doc_chunks):
         distinct_encoded(doc_chunks, ["lang", "lang"])
     with pytest.raises(ValueError, match="at least one"):
         distinct_encoded(doc_chunks, [])
+
+def _disc_quantile(vals, q):
+    """DuckDB quantile_disc: value at rank max(1, ceil(q*n)) among the
+    sorted non-null values (the rule quantiles_encoded implements)."""
+    import math
+
+    vals = sorted(v for v in vals if v is not None)
+    if not vals:
+        return None
+    return vals[max(1, math.ceil(q * len(vals))) - 1]
+
+
+def test_group_quantiles_matches_golden(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_quantiles_encoded
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["key"], r["q"]): r["value"]
+        for r in group_quantiles_encoded(
+            doc_chunks, "lang", "n_chars", qs, colocated=True
+        ).collect()
+    }
+    by_key = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_key.setdefault(r["lang"], []).append(r["n_chars"])
+    want = {
+        (k, q): _disc_quantile(vs, q) for k, vs in by_key.items() for q in qs
+    }
+    assert got == want
+
+
+def test_group_quantiles_null_semantics(spark):
+    """All-NULL-value groups report NULL at every q; NULL keys are a
+    real group; NULL values never count toward n."""
+    from parquet_extra_spark.engine.encoded_agg import group_quantiles_encoded
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None), (None, 5), (None, 7)],
+        "k string, v int",
+    )
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = {
+        (r["key"], r["q"]): r["value"]
+        for r in group_quantiles_encoded(chunks, "k", "v", [0.5, 1.0]).collect()
+    }
+    assert got == {
+        ("a", 0.5): 1, ("a", 1.0): 2,
+        ("b", 0.5): None, ("b", 1.0): None,
+        (None, 0.5): 5, (None, 1.0): 7,
+    }
+
+
+def test_group_quantiles_where_and_multikey(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_quantiles_encoded
+
+    qs = [0.5]
+    w = pes.P.gt("n_chars", 100)
+    got = {
+        (r["lang"], r["source"], r["q"]): r["value"]
+        for r in group_quantiles_encoded(
+            doc_chunks, ["lang", "source"], "n_chars", qs, where=w,
+            colocated=True,
+        ).collect()
+    }
+    by_key = {}
+    for r in (
+        docs.filter(F.col("n_chars") > 100)
+        .select("lang", "source", "n_chars")
+        .collect()
+    ):
+        by_key.setdefault((r["lang"], r["source"]), []).append(r["n_chars"])
+    want = {
+        (k[0], k[1], q): _disc_quantile(vs, q)
+        for k, vs in by_key.items()
+        for q in qs
+    }
+    assert got == want
+
+
+def test_group_quantiles_validation(doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_quantiles_encoded
+
+    with pytest.raises(ValueError, match="at least one"):
+        group_quantiles_encoded(doc_chunks, "lang", "n_chars", [])
+    with pytest.raises(ValueError, match="out of"):
+        group_quantiles_encoded(doc_chunks, "lang", "n_chars", [1.5])
+    with pytest.raises(ValueError):
+        group_quantiles_encoded(doc_chunks, "lang", "nope", [0.5])
