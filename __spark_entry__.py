@@ -693,6 +693,75 @@ def q_encoded_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate GROUP BY in ONE encoded pass: count/sum/avg over
+    the numeric column and min/max over BOTH lanes (decoded numeric +
+    dictionary-ranked string) read every referenced column once per
+    chunk and emit one combined partial row — an N-aggregate report
+    costs one scan instead of N (engine/encoded_agg.group_agg_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    r = pes.group_agg_encoded(
+        chunks,
+        "lang",
+        [
+            ("count", "*", "n"),
+            ("count", "source", "ns"),
+            ("sum", "n_chars", "sc"),
+            ("avg", "n_chars", "ac"),
+            ("min", "n_chars", "mnc"),
+            ("max", "n_chars", "mxc"),
+            ("min", "source", "mns"),
+            ("max", "source", "mxs"),
+        ],
+        colocated=True,
+    )
+    return r.select(
+        "key", "n", "ns", "sc", F.round("ac", 6).alias("ac"),
+        "mnc", "mxc", "mns", "mxs",
+    )
+
+
+def _event_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached encoded events table (ts-sorted so the timestamp column
+    lands in the RLE/FOR-friendly lane)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pes.encode(
+        ev, sort_cols=["ts"], chunk_rows=4096, n_buckets=4, n_salts=2,
+        num_partitions=8,
+    ).cache()
+
+
+def q_encoded_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over encoded data (hypertable shape): the
+    timestamp reads as dictionary codes, per-chunk partials group at
+    raw-timestamp dictionary scale, and date_trunc('day') runs on those
+    partial rows only — the bucket expression never touches row scale
+    (engine/encoded_agg.time_rollup_encoded via group_agg_encoded's
+    derive)."""
+    chunks = _event_chunks(spark, sf_dir)
+    r = pes.time_rollup_encoded(
+        chunks,
+        "ts",
+        "day",
+        [
+            ("count", "*", "n"),
+            ("sum", "value", "sv"),
+            ("min", "ts", "first_ts"),
+            ("max", "ts", "last_ts"),
+        ],
+        colocated=True,
+    )
+    return r.select(
+        F.unix_timestamp(F.col("bucket").cast("timestamp"))
+        .cast("long")
+        .alias("day_epoch"),
+        "n",
+        F.round("sv", 4).alias("sv"),
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"),
+    )
+
+
 def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
     the VALUE column also stays at dictionary scale — its dictionary is
@@ -984,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_topk": q_encoded_topk,
         "encoded_quantiles": q_encoded_quantiles,
         "encoded_group_quantiles": q_encoded_group_quantiles,
+        "encoded_multi_agg": q_encoded_multi_agg,
+        "encoded_time_rollup": q_encoded_time_rollup,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1367,6 +1438,19 @@ def oracle_sql() -> dict[str, str]:
                 " FROM documents GROUP BY lang"
                 for q in (0.25, 0.5, 0.9)
             )
+        ),
+        "encoded_multi_agg": (
+            "SELECT lang AS key, count(*) AS n, count(source) AS ns,"
+            " sum(n_chars) AS sc, round(avg(n_chars), 6) AS ac,"
+            " min(n_chars) AS mnc, max(n_chars) AS mxc,"
+            " min(source) AS mns, max(source) AS mxs"
+            " FROM documents GROUP BY lang"
+        ),
+        "encoded_time_rollup": (
+            "SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,"
+            " count(*) AS n, round(sum(value), 4) AS sv,"
+            " epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us"
+            " FROM events GROUP BY 1"
         ),
         "encoded_minmax": (
             "SELECT lang AS key, count(*) AS n_rows, count(source) AS n_vals,"

@@ -25,12 +25,14 @@ from .engine.pushdown import (
 from .engine.aggregates import metadata_profile
 from .engine.encoded_agg import (
     distinct_encoded,
+    group_agg_encoded,
     group_count_distinct_encoded,
     group_minmax_encoded,
     group_quantiles_encoded,
     group_stats_encoded,
     group_topk_encoded,
     group_sum_encoded,
+    time_rollup_encoded,
     quantiles_encoded,
     value_counts_encoded,
 )
@@ -105,6 +107,8 @@ __all__ = [
     "group_stats_encoded",
     "group_minmax_encoded",
     "group_topk_encoded",
+    "group_agg_encoded",
+    "time_rollup_encoded",
     "distinct_encoded",
     "group_count_distinct_encoded",
     "group_quantiles_encoded",

@@ -934,6 +934,42 @@ def _minmax_arrays(
     return ints(mins).cast(val_t), ints(maxs).cast(val_t), has
 
 
+def _rank_minmax(
+    vcodes: np.ndarray, vdict: pa.Array, codes: np.ndarray, m: int, out_t
+) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Per-group (min, max, non-null count) for ANY orderable dtype, both
+    sides at dictionary scale: the value dictionary is ranked once
+    (``pc.sort_indices`` — the same total order Spark/SQL uses: binary
+    collation for strings, NaN greatest for floats) and min/max reduce
+    over RANKS through the codes; extreme VALUES come back by indexing
+    the sorted dictionary. ``vcodes`` must already be row-mask-filtered
+    to align with ``codes``."""
+    import pyarrow.compute as pc
+
+    nv = len(vdict)
+    si = pc.sort_indices(vdict).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(nv + 1, dtype=np.int64)
+    rank[si] = np.arange(nv)
+    rank[nv] = -1  # null sentinel — excluded below
+    rr = rank[vcodes]
+    nn = vcodes < nv
+    nn_codes, nn_rr = codes[nn], rr[nn]
+    minr = np.full(m, nv, dtype=np.int64)
+    maxr = np.full(m, -1, dtype=np.int64)
+    np.minimum.at(minr, nn_codes, nn_rr)
+    np.maximum.at(maxr, nn_codes, nn_rr)
+    has = maxr >= 0
+    sorted_dict = vdict.take(pa.array(si, type=pa.int64())).cast(out_t)
+    mn = sorted_dict.take(
+        pa.array(np.where(has, minr, 0), type=pa.int64(), mask=~has)
+    )
+    mx = sorted_dict.take(
+        pa.array(np.where(has, maxr, 0), type=pa.int64(), mask=~has)
+    )
+    n_vals = np.bincount(nn_codes, minlength=m).astype(np.int64)
+    return mn, mx, n_vals
+
+
 def group_stats_encoded(
     chunks: DataFrame,
     key_col: "str | list[str]",
@@ -1047,8 +1083,6 @@ def group_minmax_encoded(
     materialization never happens, for any dtype. Output: (key | the
     named key columns, n_rows, n_vals, mn, mx); mn/mx NULL for all-null
     groups (SQL). ``where``/``colocated`` as in group_stats_encoded."""
-    import pyarrow.compute as pc
-
     keys, single = _norm_keys("group_minmax_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
@@ -1077,28 +1111,8 @@ def group_minmax_encoded(
         codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
         if m == 0:
             return None
-        nv = len(vdict)
-        si = pc.sort_indices(vdict).to_numpy(zero_copy_only=False).astype(np.int64)
-        rank = np.empty(nv + 1, dtype=np.int64)
-        rank[si] = np.arange(nv)
-        rank[nv] = -1  # null sentinel — excluded below
-        rr = rank[vcodes]
-        nn = vcodes < nv
-        nn_codes, nn_rr = codes[nn], rr[nn]
-        minr = np.full(m, nv, dtype=np.int64)
-        maxr = np.full(m, -1, dtype=np.int64)
-        np.minimum.at(minr, nn_codes, nn_rr)
-        np.maximum.at(maxr, nn_codes, nn_rr)
-        has = maxr >= 0
-        sorted_dict = vdict.take(pa.array(si, type=pa.int64())).cast(out_t)
-        mn = sorted_dict.take(
-            pa.array(np.where(has, minr, 0), type=pa.int64(), mask=~has)
-        )
-        mx = sorted_dict.take(
-            pa.array(np.where(has, maxr, 0), type=pa.int64(), mask=~has)
-        )
+        mn, mx, n_vals = _rank_minmax(vcodes, vdict, codes, m, out_t)
         n_rows = np.bincount(codes, minlength=m).astype(np.int64)
-        n_vals = np.bincount(nn_codes, minlength=m).astype(np.int64)
         return pa.RecordBatch.from_arrays(
             [
                 *key_arrs,
@@ -1294,4 +1308,272 @@ def group_sum_encoded(
         .otherwise(F.lit(None))
         .cast(sum_sql)
         .alias("s")
+    )
+
+
+_AGG_FNS = ("count", "sum", "avg", "min", "max")
+
+
+def _norm_agg_specs(
+    op: str, aggs, out_key_names: list[str]
+) -> list[tuple[str, str, str]]:
+    """Normalize/validate the (fn, column, alias) agg list. ``count`` may
+    take ``"*"``; aliases must be unique and distinct from the output key
+    columns (they become the result's column names)."""
+    if not aggs:
+        raise ValueError(f"{op} needs at least one aggregate")
+    specs: list[tuple[str, str, str]] = []
+    seen = set(out_key_names)
+    for item in aggs:
+        if not (isinstance(item, (tuple, list)) and len(item) == 3):
+            raise ValueError(
+                f"{op}: each aggregate must be (fn, column, alias), got {item!r}"
+            )
+        fn, col, alias = item
+        fn = str(fn).lower()
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"{op}: unknown aggregate {fn!r} (supported: {_AGG_FNS};"
+                " use group_count_distinct_encoded for COUNT(DISTINCT) and"
+                " group_quantiles_encoded for quantiles)"
+            )
+        if col == "*" and fn != "count":
+            raise ValueError(f"{op}: '*' is only valid with count")
+        if not alias or not isinstance(alias, str):
+            raise ValueError(f"{op}: aggregate alias must be a non-empty string")
+        if alias in seen:
+            raise ValueError(f"{op}: duplicate output column {alias!r}")
+        seen.add(alias)
+        specs.append((fn, str(col), alias))
+    return specs
+
+
+def group_agg_encoded(
+    chunks: DataFrame,
+    key_col: "str | list[str]",
+    aggs: "list[tuple[str, str, str]]",
+    colocated: bool = False,
+    where: Pred | None = None,
+    derive: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Multi-aggregate GROUP BY over encoded data in ONE chunk pass:
+    ``SELECT keys, agg1, agg2, ... GROUP BY keys`` where each agg is a
+    ``(fn, column, alias)`` tuple with fn in count/sum/avg/min/max
+    (``("count", "*", n)`` counts rows). Where group_sum/group_minmax/
+    group_stats_encoded each pay their own scan of the chunk table, this
+    reads every referenced column once and emits one combined partial
+    row per (chunk, group) — at 100 TB, an N-aggregate report costs one
+    pass instead of N.
+
+    Per column the cheapest sound lane is chosen: numeric columns
+    (int/float/decimal) decode once and serve sum/avg/min/max/count from
+    the same array (avg -> double, computed exactly as merged-sum /
+    merged-count); non-numeric columns (string/timestamp/date/boolean)
+    never materialize per row — count and min/max come from dictionary
+    codes with the ranked-dictionary kernel (_rank_minmax), and sum/avg
+    on them raise exactly as SQL SUM does. NULL semantics are SQL
+    throughout: count(*) counts rows, count(col) non-nulls, sum/avg/
+    min/max of an all-null group are NULL, null keys group together.
+
+    ``derive`` maps output-column aliases to SQL expressions over the
+    RAW key columns, evaluated at PARTIAL scale (n_chunks × distinct
+    keys rows, never per row) before the final merge — GROUP BY an
+    expression of the key with the expression cost paid at dictionary
+    scale: ``derive={"day": "date_trunc('day', ts)"}`` is a time-bucket
+    rollup (see time_rollup_encoded). With ``derive`` the output groups
+    by the derived aliases; without it, by the key columns (single key
+    keeps the legacy ``key`` output name). Decomposable-merge rule:
+    count/sum re-sum, min/max re-min/max, avg = summed-sum/summed-count,
+    so regrouping partials under a coarser derived key stays exact.
+
+    ``colocated``/``where`` as in group_stats_encoded (stats-pruned
+    chunks + dictionary-domain exact recheck)."""
+    single = isinstance(key_col, str)
+    keys = [key_col] if single else list(key_col)
+    if not keys:
+        raise ValueError("group_agg_encoded needs at least one key column")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"group_agg_encoded: duplicate key columns {keys}")
+    out_names = keys if derive is not None else (["key"] if single else keys)
+    specs = _norm_agg_specs("group_agg_encoded", aggs, out_names)
+    agg_cols = sorted({c for _, c, _ in specs if c != "*"})
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(
+        chunks, keys + agg_cols + refs, "group_agg_encoded"
+    )
+    if derive is not None:
+        if not derive:
+            raise ValueError("group_agg_encoded: derive must be non-empty")
+        taken = set(out_names) | {a for _, _, a in specs}
+        clash = [a for a in derive if a in taken]
+        if clash:
+            raise ValueError(
+                f"group_agg_encoded: derive aliases {clash} collide with"
+                " key/aggregate output columns"
+            )
+
+    # per referenced column: "decode" lane (numeric — one decode serves
+    # every agg) or "codes" lane (dictionary-domain count/min/max only)
+    lanes: dict[str, str] = {}
+    sum_sqls: dict[str, str] = {}
+    modes: dict[str, str] = {}
+    for c in agg_cols:
+        fns = {f for f, cc, _ in specs if cc == c}
+        try:
+            lanes[c], sum_sqls[c] = _val_lane("group_agg_encoded", dtypes[c])
+            modes[c] = "decode"
+        except TypeError:
+            if fns & {"sum", "avg"}:
+                raise
+            modes[c] = "codes"
+    if where is not None:
+        chunks = prune_chunks(chunks, where, schema_cols)
+    work = _pair_work(chunks, keys + agg_cols + refs, colocated)
+
+    part_fields, merges = [], []
+    for i, (fn, c, alias) in enumerate(specs):
+        a = f"__a{i}"
+        if fn == "count":
+            part_fields.append(f"{a} bigint")
+            merges.append(F.sum(a).alias(alias))
+        elif fn in ("sum", "avg"):
+            part_fields.append(f"{a} {sum_sqls[c]}, __c{i} bigint")
+            nn_sum = F.sum(f"__c{i}")
+            if fn == "sum":
+                merges.append(
+                    F.when(nn_sum > 0, F.sum(a))
+                    .otherwise(F.lit(None))
+                    .cast(sum_sqls[c])
+                    .alias(alias)
+                )
+            else:
+                merges.append(
+                    F.when(nn_sum > 0, F.sum(a).cast("double") / nn_sum)
+                    .otherwise(F.lit(None))
+                    .alias(alias)
+                )
+        else:
+            part_fields.append(f"{a} {dtypes[c]}")
+            merges.append((F.min(a) if fn == "min" else F.max(a)).alias(alias))
+
+    def emit(group: dict) -> pa.RecordBatch | None:
+        missing = [c for c in keys + agg_cols + refs if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk is missing column rows for {missing} —"
+                " group_agg_encoded needs every key, every aggregated"
+                " column, and every WHERE column in the chunk table"
+            )
+        cache: dict = {}
+        mask = _build_mask(group, where, dtypes, cache)
+        codes, m, key_arrs = _key_codes(group, keys, dtypes, mask, cache)
+        if m == 0:
+            return None
+        dec: dict[str, tuple] = {}
+        cod: dict[str, tuple] = {}
+        for c in agg_cols:
+            if modes[c] == "decode":
+                codec_, payload_, _ = group[c]
+                varr = decode_array(payload_, dtypes[c], codec_)
+                vals, vmask = _extract_vals(varr, dtypes[c], lanes[c])
+                if mask is not None:
+                    vals, vmask = vals[mask], vmask[mask]
+                dec[c] = (vals, vmask)
+            else:
+                vcodes, vdict, _ = _get_codes(group, c, dtypes, cache)
+                if mask is not None:
+                    vcodes = vcodes[mask]
+                cod[c] = (vcodes, vdict)
+        mm_cache: dict[str, tuple] = {}
+
+        def minmax(c: str):
+            if c not in mm_cache:
+                if modes[c] == "decode":
+                    vals, vmask = dec[c]
+                    mm_cache[c] = _minmax_arrays(
+                        codes, vals, vmask, m, lanes[c], dtypes[c]
+                    )[:2]
+                else:
+                    vcodes, vdict = cod[c]
+                    mm_cache[c] = _rank_minmax(
+                        vcodes, vdict, codes, m,
+                        typemap.spark_to_arrow(dtypes[c]),
+                    )[:2]
+            return mm_cache[c]
+
+        keep = np.ones(m, dtype=bool)  # _key_codes groups are dense
+        arrays, names = [*key_arrs], list(out_names)
+        for i, (fn, c, alias) in enumerate(specs):
+            a = f"__a{i}"
+            if fn == "count":
+                if c == "*":
+                    cnt = np.bincount(codes, minlength=m)
+                elif modes[c] == "decode":
+                    cnt = np.bincount(codes[~dec[c][1]], minlength=m)
+                else:
+                    vcodes, vdict = cod[c]
+                    cnt = np.bincount(codes[vcodes < len(vdict)], minlength=m)
+                arrays.append(pa.array(cnt.astype(np.int64), type=pa.int64()))
+                names.append(a)
+            elif fn in ("sum", "avg"):
+                vals, vmask = dec[c]
+                sums = _group_sums(codes, vals, vmask, m, lanes[c])
+                nn = np.bincount(codes[~vmask], minlength=m).astype(np.int64)
+                arrays.append(_sum_arrow(sums, keep, lanes[c], sum_sqls[c]))
+                arrays.append(pa.array(nn, type=pa.int64()))
+                names.extend([a, f"__c{i}"])
+            else:
+                mn, mx = minmax(c)
+                arrays.append(mn if fn == "min" else mx)
+                names.append(a)
+        return pa.RecordBatch.from_arrays(arrays, names)
+
+    key_schema = ", ".join(f"`{n}` {dtypes[c]}" for n, c in zip(out_names, keys))
+    partials = work.mapInArrow(
+        lambda batches: _pair_stream(batches, emit),
+        schema=f"{key_schema}, {', '.join(part_fields)}",
+    )
+    if derive is not None:
+        for alias, expr in derive.items():
+            partials = partials.withColumn(alias, F.expr(expr))
+        gcols = list(derive)
+    else:
+        gcols = out_names
+    return partials.groupBy(*[F.col(f"`{g}`") for g in gcols]).agg(*merges)
+
+
+_TIME_UNITS = (
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+)
+
+
+def time_rollup_encoded(
+    chunks: DataFrame,
+    ts_col: str,
+    unit: str,
+    aggs: "list[tuple[str, str, str]]",
+    colocated: bool = False,
+    where: Pred | None = None,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Time-bucketed rollup over encoded data — the hypertable/continuous
+    -aggregate shape: ``SELECT date_trunc(unit, ts) AS bucket, aggs...
+    GROUP BY 1``. A thin veneer over group_agg_encoded's ``derive``: the
+    timestamp column reads as dictionary codes, per-chunk partials group
+    at the RAW timestamp's dictionary scale, and date_trunc runs on
+    those partial rows (n_chunks × distinct timestamps), never per row;
+    the final merge re-groups partials under the bucket exactly
+    (count/sum re-sum, min/max re-extreme, avg = Σsum/Σcount)."""
+    u = str(unit).lower()
+    if u not in _TIME_UNITS:
+        raise ValueError(
+            f"time_rollup_encoded: unit {unit!r} not in {_TIME_UNITS}"
+        )
+    return group_agg_encoded(
+        chunks,
+        [ts_col],
+        aggs,
+        colocated=colocated,
+        where=where,
+        derive={bucket_name: f"date_trunc('{u}', `{ts_col}`)"},
     )

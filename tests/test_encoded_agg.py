@@ -584,3 +584,217 @@ def test_group_quantiles_validation(doc_chunks):
         group_quantiles_encoded(doc_chunks, "lang", "n_chars", [1.5])
     with pytest.raises(ValueError):
         group_quantiles_encoded(doc_chunks, "lang", "nope", [0.5])
+
+
+# ------------------------------------------------- group_agg_encoded
+
+
+def test_group_agg_matches_spark(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_encoded
+
+    got = {
+        r["key"]: r
+        for r in group_agg_encoded(
+            doc_chunks,
+            "lang",
+            [
+                ("count", "*", "n"),
+                ("count", "source", "ns"),
+                ("sum", "n_chars", "sc"),
+                ("avg", "n_chars", "ac"),
+                ("min", "n_chars", "mnc"),
+                ("max", "n_chars", "mxc"),
+                ("min", "source", "mns"),
+                ("max", "source", "mxs"),
+            ],
+            colocated=True,
+        ).collect()
+    }
+    want = {
+        r["key"]: r
+        for r in docs.groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("source").alias("ns"),
+            F.sum("n_chars").alias("sc"),
+            F.avg("n_chars").alias("ac"),
+            F.min("n_chars").alias("mnc"),
+            F.max("n_chars").alias("mxc"),
+            F.min("source").alias("mns"),
+            F.max("source").alias("mxs"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("n", "ns", "sc", "mnc", "mxc", "mns", "mxs"):
+            assert got[k][f] == want[k][f], (k, f)
+        assert got[k]["ac"] == pytest.approx(want[k]["ac"], rel=1e-12)
+
+
+def test_group_agg_null_semantics(spark):
+    """count(*) counts rows, count(col) non-nulls; sum/avg/min/max of an
+    all-null group are NULL; both value lanes (decoded numeric,
+    dictionary-ranked string) honor the same contract."""
+    from parquet_extra_spark.engine.encoded_agg import group_agg_encoded
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("a", 3, None),
+            ("a", None, "y"),
+            ("b", None, None),
+            (None, 5, "z"),
+        ],
+        "k string, v int, s string",
+    )
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = {
+        r["key"]: r
+        for r in group_agg_encoded(
+            chunks,
+            "k",
+            [
+                ("count", "*", "n"),
+                ("count", "v", "nv"),
+                ("sum", "v", "sv"),
+                ("avg", "v", "av"),
+                ("min", "v", "mnv"),
+                ("max", "s", "mxs"),
+            ],
+        ).collect()
+    }
+    a, b, none = got["a"], got["b"], got[None]
+    assert (a["n"], a["nv"], a["sv"], a["av"], a["mnv"], a["mxs"]) == (
+        3, 2, 4, 2.0, 1, "y",
+    )
+    assert (b["n"], b["nv"], b["sv"], b["av"], b["mnv"], b["mxs"]) == (
+        1, 0, None, None, None, None,
+    )
+    assert (none["n"], none["nv"], none["sv"], none["mnv"], none["mxs"]) == (
+        1, 1, 5, 5, "z",
+    )
+
+
+def test_group_agg_decimal_lane(spark):
+    from decimal import Decimal
+    from parquet_extra_spark.engine.encoded_agg import group_agg_encoded
+
+    df = spark.createDataFrame(
+        [("a", Decimal("1.25")), ("a", Decimal("2.50")), ("b", Decimal("-0.75"))],
+        "k string, d decimal(10,2)",
+    )
+    chunks = pes.encode(df, chunk_rows=2, n_buckets=1, n_salts=1)
+    got = {
+        r["key"]: r
+        for r in group_agg_encoded(
+            chunks, "k", [("sum", "d", "sd"), ("avg", "d", "ad")]
+        ).collect()
+    }
+    assert got["a"]["sd"] == Decimal("3.75")
+    assert got["a"]["ad"] == pytest.approx(1.875)
+    assert got["b"]["sd"] == Decimal("-0.75")
+
+
+def test_group_agg_where_and_derive(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_encoded
+
+    w = pes.P.gt("n_chars", 100)
+    got = {
+        r["lu"]: (r["n"], r["sc"])
+        for r in group_agg_encoded(
+            doc_chunks,
+            ["lang", "source"],
+            [("count", "*", "n"), ("sum", "n_chars", "sc")],
+            where=w,
+            colocated=True,
+            derive={"lu": "upper(lang)"},
+        ).collect()
+    }
+    want = {
+        r["lu"]: (r["n"], r["sc"])
+        for r in docs.filter(F.col("n_chars") > 100)
+        .groupBy(F.upper("lang").alias("lu"))
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sc"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_agg_validation(doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_encoded
+
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        group_agg_encoded(doc_chunks, "lang", [])
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        group_agg_encoded(doc_chunks, "lang", [("median", "n_chars", "m")])
+    with pytest.raises(ValueError, match="only valid with count"):
+        group_agg_encoded(doc_chunks, "lang", [("sum", "*", "s")])
+    with pytest.raises(ValueError, match="duplicate output column"):
+        group_agg_encoded(
+            doc_chunks, "lang",
+            [("count", "*", "n"), ("sum", "n_chars", "n")],
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        group_agg_encoded(doc_chunks, "lang", [("sum", "nope", "s")])
+    with pytest.raises(TypeError, match="int, float, or decimal"):
+        group_agg_encoded(doc_chunks, "lang", [("sum", "source", "s")])
+    with pytest.raises(ValueError, match="collide"):
+        group_agg_encoded(
+            doc_chunks, "lang", [("count", "*", "n")], derive={"n": "lang"}
+        )
+
+
+# ------------------------------------------------ time_rollup_encoded
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def event_chunks(events):
+    return pes.encode(
+        events, sort_cols=["ts"], chunk_rows=512, n_buckets=2, n_salts=1
+    ).cache()
+
+
+def test_time_rollup_matches_spark(events, event_chunks):
+    from parquet_extra_spark.engine.encoded_agg import time_rollup_encoded
+
+    got = {
+        r["bucket"]: r
+        for r in time_rollup_encoded(
+            event_chunks,
+            "ts",
+            "day",
+            [("count", "*", "n"), ("sum", "value", "sv"),
+             ("min", "ts", "first_ts")],
+            colocated=True,
+        ).collect()
+    }
+    want = {
+        r["bucket"]: r
+        for r in events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("ts").alias("first_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["first_ts"] == want[k]["first_ts"]
+        assert got[k]["sv"] == pytest.approx(want[k]["sv"], rel=1e-9)
+
+
+def test_time_rollup_bad_unit(event_chunks):
+    from parquet_extra_spark.engine.encoded_agg import time_rollup_encoded
+
+    with pytest.raises(ValueError, match="unit"):
+        time_rollup_encoded(event_chunks, "ts", "fortnight", [("count", "*", "n")])
