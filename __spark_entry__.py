@@ -721,6 +721,21 @@ def q_encoded_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (lang, source) over encoded data: ONE chunk pass builds
+    finest-grain partials, Spark's native groupingSets expands them per
+    set at partial scale — a multi-grain report reads the data once,
+    not once per set (engine/encoded_agg.group_agg_sets_encoded)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_agg_sets_encoded(
+        chunks,
+        ["lang", "source"],
+        [("count", "*", "n"), ("sum", "n_chars", "sc")],
+        sets="rollup",
+        colocated=True,
+    )
+
+
 def _event_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached encoded events table (ts-sorted so the timestamp column
     lands in the RLE/FOR-friendly lane)."""
@@ -1054,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_quantiles": q_encoded_quantiles,
         "encoded_group_quantiles": q_encoded_group_quantiles,
         "encoded_multi_agg": q_encoded_multi_agg,
+        "encoded_rollup_sets": q_encoded_rollup_sets,
         "encoded_time_rollup": q_encoded_time_rollup,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
@@ -1445,6 +1461,11 @@ def oracle_sql() -> dict[str, str]:
             " min(n_chars) AS mnc, max(n_chars) AS mxc,"
             " min(source) AS mns, max(source) AS mxs"
             " FROM documents GROUP BY lang"
+        ),
+        "encoded_rollup_sets": (
+            "SELECT lang, source, count(*) AS n, sum(n_chars) AS sc,"
+            " (GROUPING(lang)*2 + GROUPING(source)) AS gid"
+            " FROM documents GROUP BY ROLLUP (lang, source)"
         ),
         "encoded_time_rollup": (
             "SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,"

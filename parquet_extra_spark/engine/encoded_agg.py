@@ -1390,17 +1390,8 @@ def group_agg_encoded(
     chunks + dictionary-domain exact recheck)."""
     single = isinstance(key_col, str)
     keys = [key_col] if single else list(key_col)
-    if not keys:
-        raise ValueError("group_agg_encoded needs at least one key column")
-    if len(set(keys)) != len(keys):
-        raise ValueError(f"group_agg_encoded: duplicate key columns {keys}")
     out_names = keys if derive is not None else (["key"] if single else keys)
     specs = _norm_agg_specs("group_agg_encoded", aggs, out_names)
-    agg_cols = sorted({c for _, c, _ in specs if c != "*"})
-    refs = _where_refs(where)
-    dtypes, schema_cols = _dtype_map(
-        chunks, keys + agg_cols + refs, "group_agg_encoded"
-    )
     if derive is not None:
         if not derive:
             raise ValueError("group_agg_encoded: derive must be non-empty")
@@ -1411,6 +1402,40 @@ def group_agg_encoded(
                 f"group_agg_encoded: derive aliases {clash} collide with"
                 " key/aggregate output columns"
             )
+    partials, merges = _agg_partials(
+        "group_agg_encoded", chunks, keys, out_names, specs, colocated, where
+    )
+    if derive is not None:
+        for alias, expr in derive.items():
+            partials = partials.withColumn(alias, F.expr(expr))
+        gcols = list(derive)
+    else:
+        gcols = out_names
+    return partials.groupBy(*[F.col(f"`{g}`") for g in gcols]).agg(*merges)
+
+
+def _agg_partials(
+    op: str,
+    chunks: DataFrame,
+    keys: list[str],
+    out_names: list[str],
+    specs: list[tuple[str, str, str]],
+    colocated: bool,
+    where: Pred | None,
+) -> tuple[DataFrame, list]:
+    """Shared single-pass partial builder behind group_agg_encoded and
+    group_agg_sets_encoded: one chunk pass over every referenced column
+    -> (partials DataFrame keyed by ``out_names``, merge expressions in
+    spec order). Partials are decomposable (count/sum re-sum, min/max
+    re-extreme, avg = Σsum/Σcount), so ANY regrouping of them — a
+    coarser derived key, a grouping set, a cube — stays exact."""
+    if not keys:
+        raise ValueError(f"{op} needs at least one key column")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"{op}: duplicate key columns {keys}")
+    agg_cols = sorted({c for _, c, _ in specs if c != "*"})
+    refs = _where_refs(where)
+    dtypes, schema_cols = _dtype_map(chunks, keys + agg_cols + refs, op)
 
     # per referenced column: "decode" lane (numeric — one decode serves
     # every agg) or "codes" lane (dictionary-domain count/min/max only)
@@ -1420,7 +1445,7 @@ def group_agg_encoded(
     for c in agg_cols:
         fns = {f for f, cc, _ in specs if cc == c}
         try:
-            lanes[c], sum_sqls[c] = _val_lane("group_agg_encoded", dtypes[c])
+            lanes[c], sum_sqls[c] = _val_lane(op, dtypes[c])
             modes[c] = "decode"
         except TypeError:
             if fns & {"sum", "avg"}:
@@ -1460,9 +1485,9 @@ def group_agg_encoded(
         missing = [c for c in keys + agg_cols + refs if c not in group]
         if missing:
             raise ValueError(
-                f"chunk is missing column rows for {missing} —"
-                " group_agg_encoded needs every key, every aggregated"
-                " column, and every WHERE column in the chunk table"
+                f"chunk is missing column rows for {missing} — {op}"
+                " needs every key, every aggregated column, and every"
+                " WHERE column in the chunk table"
             )
         cache: dict = {}
         mask = _build_mask(group, where, dtypes, cache)
@@ -1533,13 +1558,74 @@ def group_agg_encoded(
         lambda batches: _pair_stream(batches, emit),
         schema=f"{key_schema}, {', '.join(part_fields)}",
     )
-    if derive is not None:
-        for alias, expr in derive.items():
-            partials = partials.withColumn(alias, F.expr(expr))
-        gcols = list(derive)
-    else:
-        gcols = out_names
-    return partials.groupBy(*[F.col(f"`{g}`") for g in gcols]).agg(*merges)
+    return partials, merges
+
+
+def group_agg_sets_encoded(
+    chunks: DataFrame,
+    key_cols: list[str],
+    aggs: "list[tuple[str, str, str]]",
+    sets: "list[list[str]] | str",
+    colocated: bool = False,
+    where: Pred | None = None,
+) -> DataFrame:
+    """GROUPING SETS / ROLLUP / CUBE over encoded data with ONE chunk
+    pass: ``SELECT keys, aggs..., grouping_id GROUP BY GROUPING SETS
+    (...)``. The finest-grain partials (all key columns, dictionary
+    scale — see group_agg_encoded) are built once; Spark's native
+    ``groupingSets`` then expands them per set, so the multi-grain
+    report costs one scan of the chunk table plus a re-aggregation of
+    tiny partial rows — at 100 TB, a rollup with S sets reads the data
+    once, not S times.
+
+    ``sets`` is a list of key subsets (``[]`` = grand total), or the
+    shorthands ``"rollup"`` (prefixes, coarsest last) / ``"cube"`` (all
+    subsets). Output: every key column (NULL where not grouped — use
+    ``gid`` to tell that apart from a NULL key value), the aggregate
+    aliases, and ``gid`` = Spark's grouping_id (leftmost key = most
+    significant bit; SQL ``GROUPING(k1)*2^(n-1)+...`` gives the same
+    number). ``colocated``/``where`` as in group_stats_encoded."""
+    keys = list(key_cols)
+    if isinstance(sets, str):
+        mode = sets.lower()
+        if mode == "rollup":
+            sets = [keys[:i] for i in range(len(keys), -1, -1)]
+        elif mode == "cube":
+            from itertools import combinations
+
+            sets = [
+                list(c)
+                for r in range(len(keys), -1, -1)
+                for c in combinations(keys, r)
+            ]
+        else:
+            raise ValueError(
+                f"group_agg_sets_encoded: sets shorthand {sets!r} must be"
+                " 'rollup' or 'cube' (or an explicit list of key subsets)"
+            )
+    if not sets:
+        raise ValueError("group_agg_sets_encoded needs at least one grouping set")
+    seen_sets = set()
+    for s in sets:
+        bad = [k for k in s if k not in keys]
+        if bad:
+            raise ValueError(
+                f"group_agg_sets_encoded: grouping set {s} references"
+                f" non-key columns {bad}"
+            )
+        t = tuple(sorted(s))
+        if t in seen_sets:
+            raise ValueError(f"group_agg_sets_encoded: duplicate grouping set {s}")
+        seen_sets.add(t)
+    specs = _norm_agg_specs("group_agg_sets_encoded", aggs, keys + ["gid"])
+    partials, merges = _agg_partials(
+        "group_agg_sets_encoded", chunks, keys, keys, specs, colocated, where
+    )
+    gs = partials.groupingSets(
+        [[F.col(f"`{k}`") for k in s] for s in sets],
+        *[F.col(f"`{k}`") for k in keys],
+    )
+    return gs.agg(*merges, F.grouping_id().alias("gid"))
 
 
 _TIME_UNITS = (

@@ -798,3 +798,88 @@ def test_time_rollup_bad_unit(event_chunks):
 
     with pytest.raises(ValueError, match="unit"):
         time_rollup_encoded(event_chunks, "ts", "fortnight", [("count", "*", "n")])
+
+
+# --------------------------------------------- group_agg_sets_encoded
+
+
+def test_group_agg_sets_rollup_matches_spark(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_sets_encoded
+
+    got = {
+        (r["lang"], r["source"], r["gid"]): (r["n"], r["sc"])
+        for r in group_agg_sets_encoded(
+            doc_chunks,
+            ["lang", "source"],
+            [("count", "*", "n"), ("sum", "n_chars", "sc")],
+            sets="rollup",
+            colocated=True,
+        ).collect()
+    }
+    want = {
+        (r["lang"], r["source"], r["gid"]): (r["n"], r["sc"])
+        for r in docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sc"),
+            F.grouping_id().alias("gid"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_group_agg_sets_explicit_and_cube(docs, doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_sets_encoded
+
+    got = {
+        (r["lang"], r["source"], r["gid"]): r["n"]
+        for r in group_agg_sets_encoded(
+            doc_chunks,
+            ["lang", "source"],
+            [("count", "*", "n")],
+            sets=[["lang"], ["source"], []],
+        ).collect()
+    }
+    want = {}
+    for r in docs.groupBy("lang").count().collect():
+        want[(r["lang"], None, 1)] = r["count"]
+    for r in docs.groupBy("source").count().collect():
+        want[(None, r["source"], 2)] = r["count"]
+    want[(None, None, 3)] = docs.count()
+    assert got == want
+
+    cube = group_agg_sets_encoded(
+        doc_chunks, ["lang", "source"], [("count", "*", "n")], sets="cube",
+        colocated=True,
+    )
+    want_cube = {
+        (r["lang"], r["source"], r["gid"]): r["n"]
+        for r in docs.cube("lang", "source")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+        .collect()
+    }
+    got_cube = {
+        (r["lang"], r["source"], r["gid"]): r["n"] for r in cube.collect()
+    }
+    assert got_cube == want_cube
+
+
+def test_group_agg_sets_validation(doc_chunks):
+    from parquet_extra_spark.engine.encoded_agg import group_agg_sets_encoded
+
+    aggs = [("count", "*", "n")]
+    with pytest.raises(ValueError, match="rollup.*cube|'rollup' or 'cube'"):
+        group_agg_sets_encoded(doc_chunks, ["lang"], aggs, sets="pivot")
+    with pytest.raises(ValueError, match="at least one grouping set"):
+        group_agg_sets_encoded(doc_chunks, ["lang"], aggs, sets=[])
+    with pytest.raises(ValueError, match="non-key"):
+        group_agg_sets_encoded(doc_chunks, ["lang"], aggs, sets=[["source"]])
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        group_agg_sets_encoded(
+            doc_chunks, ["lang"], aggs, sets=[["lang"], ["lang"]]
+        )
+    with pytest.raises(ValueError, match="duplicate output column"):
+        group_agg_sets_encoded(
+            doc_chunks, ["lang"], [("count", "*", "gid")], sets="rollup"
+        )
