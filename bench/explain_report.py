@@ -412,6 +412,85 @@ def main() -> None:
     ))
     srt.unpersist()
 
+    # single-pass multi-aggregate GROUP BY (engine/encoded_agg)
+    ma = pes.group_agg_encoded(
+        vc_chunks, "lang",
+        [("count", "*", "n"), ("sum", "n_chars", "sc"),
+         ("avg", "n_chars", "ac"), ("min", "source", "mns"),
+         ("max", "source", "mxs")],
+        colocated=True,
+    )
+    ma_plan = formatted(ma)
+    ma_head = ma_plan.split("InMemoryTableScan", 1)[0]
+    sections.append((
+        "single-pass multi-aggregate (group_agg_encoded)",
+        "count/sum/avg/min/max over BOTH lanes (decoded numeric + "
+        "dictionary-ranked string) read every referenced column once per "
+        "chunk and emit ONE combined partial row per (chunk, group) — an "
+        "N-aggregate report costs one scan of the chunk table, not N. "
+        f"kernel passes above the cache scan: "
+        f"{ma_head.count('MapInArrow')} (one, for all five aggregates); "
+        "colocated=True keeps the only Exchange above the kernel, "
+        "carrying combined (key, partials) rows.",
+        ma_plan,
+    ))
+
+    # GROUPING SETS from the same partials: Expand runs at partial scale
+    rs = pes.group_agg_sets_encoded(
+        vc_chunks, ["lang", "source"],
+        [("count", "*", "n"), ("sum", "n_chars", "sc")],
+        sets="rollup", colocated=True,
+    )
+    rs_plan = formatted(rs)
+    rs_head = rs_plan.split("InMemoryTableScan", 1)[0]
+    sections.append((
+        "ROLLUP / GROUPING SETS over encoded data (group_agg_sets_encoded)",
+        "One chunk pass builds finest-grain partials; Spark's native "
+        "Expand node then replicates each PARTIAL row once per grouping "
+        "set (partials are n_chunks x distinct-keys rows — kilobytes), so "
+        "a multi-grain rollup reads the data once, not once per set. "
+        f"kernel passes: {rs_head.count('MapInArrow')}; Expand above the "
+        f"kernel: {'Expand' in rs_head}.",
+        rs_plan,
+    ))
+
+    # time-bucket rollup: date_trunc runs on partial rows, never per row
+    ev_full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    evc = pes.encode(ev_full, sort_cols=["ts"], chunk_rows=4096,
+                     n_buckets=2, n_salts=1, num_partitions=4).cache()
+    tr = pes.time_rollup_encoded(
+        evc, "ts", "day",
+        [("count", "*", "n"), ("sum", "value", "sv")], colocated=True,
+    )
+    sections.append((
+        "time-bucket rollup (time_rollup_encoded)",
+        "The hypertable shape: the timestamp reads as dictionary codes, "
+        "partials group at raw-timestamp dictionary scale, and "
+        "date_trunc('day') is a Catalyst Project over those partial rows "
+        "(n_chunks x distinct timestamps) — the bucket expression never "
+        "touches row scale, and the merge re-groups partials under the "
+        "bucket exactly (count/sum re-sum, avg = sum-of-sums / "
+        "sum-of-counts).",
+        formatted(tr),
+    ))
+    evc.unpersist()
+
+    # per-group exact quantiles: rank window at distinct-value scale
+    gq = pes.group_quantiles_encoded(
+        vc_chunks, "lang", "n_chars", [0.25, 0.5, 0.9], colocated=True
+    )
+    sections.append((
+        "per-group exact quantiles (group_quantiles_encoded)",
+        "Grouped discrete quantiles from codec structures: stacked "
+        "(key, value) dictionary codes collapse to (key, value, count) "
+        "partials per chunk, Catalyst merges cross-chunk duplicates, and "
+        "ONE running-count window PARTITIONED BY key locates rank "
+        "max(1, ceil(q*n)) per group — the window parallelizes across "
+        "groups and its input is each group's distinct-value count, "
+        "never its row count.",
+        formatted(gq),
+    ))
+
     # large-set membership pruning: the plan stays O(1) expressions
     import time as _time
 

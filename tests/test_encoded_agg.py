@@ -883,3 +883,40 @@ def test_group_agg_sets_validation(doc_chunks):
         group_agg_sets_encoded(
             doc_chunks, ["lang"], [("count", "*", "gid")], sets="rollup"
         )
+
+
+def test_group_agg_colocated_no_exchange_below_kernel(doc_chunks):
+    """The single-pass multi-aggregate (and its grouping-sets form) keep
+    the colocated contract: no Exchange below MapInArrow — the only
+    shuffle carries combined (key, partials) rows, once, for ALL the
+    aggregates together."""
+    from parquet_extra_spark.engine.encoded_agg import (
+        group_agg_encoded,
+        group_agg_sets_encoded,
+    )
+
+    aggs = [("count", "*", "n"), ("sum", "n_chars", "sc"),
+            ("min", "source", "mns")]
+
+    def below_map(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in s, s
+        return s.split("MapInArrow", 1)[1].split("InMemoryTableScan", 1)[0]
+
+    assert "Exchange" not in below_map(
+        group_agg_encoded(doc_chunks, "lang", aggs, colocated=True)
+    )
+    assert "Exchange" not in below_map(
+        group_agg_sets_encoded(
+            doc_chunks, ["lang", "source"], aggs[:2], sets="rollup",
+            colocated=True,
+        )
+    )
+    # one kernel pass, not one per aggregate (count only above the cache
+    # scan — the InMemoryRelation subtree re-prints the encode pipeline's
+    # own MapInArrow, which is not part of this query)
+    plan = (
+        group_agg_encoded(doc_chunks, "lang", aggs, colocated=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.split("InMemoryTableScan", 1)[0].count("MapInArrow") == 1
