@@ -44,20 +44,28 @@ from .encoded_filter import row_mask
 from .predicate import Pred, prune_chunks, referenced_columns
 
 
-def _column_dtype(chunks: DataFrame, column: str) -> str:
-    for c, _, d in discover_schema(chunks):
+def _column_dtype(
+    chunks: DataFrame, column: str, schema_cols=None
+) -> str:
+    for c, _, d in schema_cols or discover_schema(chunks):
         if c == column:
             return d
     raise ValueError(f"unknown column: {column!r}")
 
 
 def _dtype_map(
-    chunks: DataFrame, needed: list[str], op: str
+    chunks: DataFrame, needed: list[str], op: str, schema_cols=None
 ) -> tuple[dict[str, str], list[tuple[str, int, str]]]:
     """One discover_schema pass -> {column: dtype} for ``needed`` (plus
     the full schema_cols for downstream pruning). Fail-fast on unknown
-    columns, matching the decode surface's contract."""
-    schema_cols = discover_schema(chunks)
+    columns, matching the decode surface's contract. A caller-supplied
+    ``schema_cols`` (same (column, col_idx, dtype) triples decode takes,
+    e.g. from schema_from_struct or a checkpoint manifest) skips the
+    discovery ACTION — without it every encoded aggregate pays one extra
+    Spark job over the chunk table's metadata columns per call, which at
+    bench scale is ~30% of the whole query's wall clock."""
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
     dtypes = {c: d for c, _, d in schema_cols}
     unknown = [c for c in needed if c not in dtypes]
     if unknown:
@@ -159,6 +167,7 @@ def value_counts_encoded(
     column: str,
     where: Pred | None = None,
     colocated: bool = False,
+    schema_cols=None,
 ) -> DataFrame:
     """``SELECT value, count(*) GROUP BY value`` over one encoded column,
     computed from codec structures (see module docstring). Output columns:
@@ -172,8 +181,8 @@ def value_counts_encoded(
     skips its repartition); without ``where`` the operator stays map-only
     over single chunk rows and ``colocated`` is irrelevant."""
     if where is not None:
-        return _value_counts_filtered(chunks, column, where, colocated)
-    dtype = _column_dtype(chunks, column)
+        return _value_counts_filtered(chunks, column, where, colocated, schema_cols)
+    dtype = _column_dtype(chunks, column, schema_cols)
     out_t = typemap.spark_to_arrow(dtype)
     work = chunks.filter(F.col("column") == column).select(
         "codec", "payload", "n_values"
@@ -209,7 +218,8 @@ def value_counts_encoded(
 
 
 def _value_counts_filtered(
-    chunks: DataFrame, column: str, where: Pred, colocated: bool
+    chunks: DataFrame, column: str, where: Pred, colocated: bool,
+    schema_cols=None,
 ) -> DataFrame:
     """value_counts_encoded's WHERE form: prune chunks on stats, then
     per chunk mask the codes through the dictionary-domain verdict and
@@ -217,7 +227,7 @@ def _value_counts_filtered(
     its dictionary."""
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, [column] + refs, "value_counts_encoded"
+        chunks, [column] + refs, "value_counts_encoded", schema_cols
     )
     dtype = dtypes[column]
     out_t = typemap.spark_to_arrow(dtype)
@@ -259,6 +269,7 @@ def distinct_encoded(
     column: "str | list[str]",
     where: Pred | None = None,
     colocated: bool = False,
+    schema_cols=None,
 ) -> DataFrame:
     """``SELECT DISTINCT column`` from codec structures. dict/RLE chunks
     answer from the DICTIONARY ALONE — by construction it is exactly the
@@ -279,10 +290,10 @@ def distinct_encoded(
     every column a key), so combinations materialize only at
     per-chunk-distinct scale; output columns keep their real names."""
     if isinstance(column, (list, tuple)):
-        return _distinct_multi(chunks, list(column), where, colocated)
+        return _distinct_multi(chunks, list(column), where, colocated, schema_cols)
     if where is not None:
-        return _distinct_filtered(chunks, column, where, colocated)
-    dtype = _column_dtype(chunks, column)
+        return _distinct_filtered(chunks, column, where, colocated, schema_cols)
+    dtype = _column_dtype(chunks, column, schema_cols)
     out_t = typemap.spark_to_arrow(dtype)
     work = chunks.filter(F.col("column") == column).select(
         "codec", "payload", "null_count"
@@ -315,7 +326,8 @@ def distinct_encoded(
 
 
 def _distinct_multi(
-    chunks: DataFrame, cols: list[str], where: Pred | None, colocated: bool
+    chunks: DataFrame, cols: list[str], where: Pred | None, colocated: bool,
+    schema_cols=None,
 ) -> DataFrame:
     """Multi-column DISTINCT: chunk-local combination compaction via the
     stacked-dictionary-codes machinery, Catalyst distinct to finish."""
@@ -324,7 +336,7 @@ def _distinct_multi(
     if len(set(cols)) != len(cols):
         raise ValueError(f"distinct_encoded: duplicate columns {cols}")
     refs = _where_refs(where)
-    dtypes, schema_cols = _dtype_map(chunks, cols + refs, "distinct_encoded")
+    dtypes, schema_cols = _dtype_map(chunks, cols + refs, "distinct_encoded", schema_cols)
     if where is not None:
         chunks = prune_chunks(chunks, where, schema_cols)
     work = _pair_work(chunks, cols + refs, colocated)
@@ -351,10 +363,11 @@ def _distinct_multi(
 
 
 def _distinct_filtered(
-    chunks: DataFrame, column: str, where: Pred, colocated: bool
+    chunks: DataFrame, column: str, where: Pred, colocated: bool,
+    schema_cols=None,
 ) -> DataFrame:
     refs = _where_refs(where)
-    dtypes, schema_cols = _dtype_map(chunks, [column] + refs, "distinct_encoded")
+    dtypes, schema_cols = _dtype_map(chunks, [column] + refs, "distinct_encoded", schema_cols)
     dtype = dtypes[column]
     out_t = typemap.spark_to_arrow(dtype)
     pruned = prune_chunks(chunks, where, schema_cols)
@@ -394,6 +407,7 @@ def group_count_distinct_encoded(
     val_col: str,
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """``SELECT keys, count(DISTINCT val) GROUP BY keys`` over encoded
     data: per chunk, np.unique over the STACKED (key codes..., val code)
@@ -407,7 +421,8 @@ def group_count_distinct_encoded(
     keys, single = _norm_keys("group_count_distinct_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_count_distinct_encoded"
+        chunks, keys + [val_col] + refs, "group_count_distinct_encoded",
+        schema_cols,
     )
     out_names = ["key"] if single else keys
     if where is not None:
@@ -462,6 +477,7 @@ def quantiles_encoded(
     colocated: bool = False,
     distributed: bool | None = None,
     max_window_values: int = 65536,
+    schema_cols=None,
 ) -> DataFrame:
     """Exact discrete quantiles (order statistics) over one encoded
     column: ``value_counts_encoded`` supplies (value, count) pairs from
@@ -496,7 +512,8 @@ def quantiles_encoded(
     spark = chunks.sparkSession
     uq = [float(q) for q in dict.fromkeys(qs)]
     vc = value_counts_encoded(
-        chunks, column, where=where, colocated=colocated
+        chunks, column, where=where, colocated=colocated,
+        schema_cols=schema_cols,
     ).filter(F.col("value").isNotNull())
     if distributed is None:
         est = (
@@ -537,6 +554,7 @@ def group_quantiles_encoded(
     qs: list[float],
     where: Pred | None = None,
     colocated: bool = False,
+    schema_cols=None,
 ) -> DataFrame:
     """Exact discrete quantiles PER GROUP over encoded data:
     ``SELECT keys, quantile_disc(val, q) GROUP BY keys`` for each q.
@@ -571,7 +589,8 @@ def group_quantiles_encoded(
     uq = [float(q) for q in dict.fromkeys(qs)]
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_quantiles_encoded"
+        chunks, keys + [val_col] + refs, "group_quantiles_encoded",
+        schema_cols,
     )
     out_names = ["key"] if single else keys
     if where is not None:
@@ -976,6 +995,7 @@ def group_stats_encoded(
     val_col: str,
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """Grouped count/sum/min/max in one encoded-side pass:
     ``SELECT keys, count(*), count(val), sum(val), min(val), max(val)
@@ -996,7 +1016,7 @@ def group_stats_encoded(
     keys, single = _norm_keys("group_stats_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_stats_encoded"
+        chunks, keys + [val_col] + refs, "group_stats_encoded", schema_cols
     )
     val_dtype = dtypes[val_col]
     lane, sum_sql = _val_lane("group_stats_encoded", val_dtype)
@@ -1068,6 +1088,7 @@ def group_minmax_encoded(
     val_col: str,
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """``SELECT keys, count(*), count(val), min(val), max(val) GROUP BY
     keys`` for ANY orderable value dtype — including the types SQL SUM
@@ -1086,7 +1107,7 @@ def group_minmax_encoded(
     keys, single = _norm_keys("group_minmax_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_minmax_encoded"
+        chunks, keys + [val_col] + refs, "group_minmax_encoded", schema_cols
     )
     val_dtype = dtypes[val_col]
     out_t = typemap.spark_to_arrow(val_dtype)
@@ -1148,6 +1169,7 @@ def group_topk_encoded(
     desc: bool = True,
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """Per-group ORDER BY ... LIMIT k over encoded data: the k extreme
     VALUES of ``val_col`` within each group (SQL ``row_number() OVER
@@ -1171,7 +1193,7 @@ def group_topk_encoded(
     keys, single = _norm_keys("group_topk_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_topk_encoded"
+        chunks, keys + [val_col] + refs, "group_topk_encoded", schema_cols
     )
     val_dtype = dtypes[val_col]
     out_t = typemap.spark_to_arrow(val_dtype)
@@ -1241,6 +1263,7 @@ def group_sum_encoded(
     val_col: str,
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """``SELECT keys, sum(val) GROUP BY keys`` with the key side read from
     codec structures: per chunk, the keys' dictionary codes drive one
@@ -1257,7 +1280,7 @@ def group_sum_encoded(
     keys, single = _norm_keys("group_sum_encoded", key_col, val_col)
     refs = _where_refs(where)
     dtypes, schema_cols = _dtype_map(
-        chunks, keys + [val_col] + refs, "group_sum_encoded"
+        chunks, keys + [val_col] + refs, "group_sum_encoded", schema_cols
     )
     val_dtype = dtypes[val_col]
     lane, sum_sql = _val_lane("group_sum_encoded", val_dtype)
@@ -1355,6 +1378,7 @@ def group_agg_encoded(
     colocated: bool = False,
     where: Pred | None = None,
     derive: "dict[str, str] | None" = None,
+    schema_cols=None,
 ) -> DataFrame:
     """Multi-aggregate GROUP BY over encoded data in ONE chunk pass:
     ``SELECT keys, agg1, agg2, ... GROUP BY keys`` where each agg is a
@@ -1403,7 +1427,8 @@ def group_agg_encoded(
                 " key/aggregate output columns"
             )
     partials, merges = _agg_partials(
-        "group_agg_encoded", chunks, keys, out_names, specs, colocated, where
+        "group_agg_encoded", chunks, keys, out_names, specs, colocated,
+        where, schema_cols,
     )
     if derive is not None:
         for alias, expr in derive.items():
@@ -1422,6 +1447,7 @@ def _agg_partials(
     specs: list[tuple[str, str, str]],
     colocated: bool,
     where: Pred | None,
+    schema_cols=None,
 ) -> tuple[DataFrame, list]:
     """Shared single-pass partial builder behind group_agg_encoded and
     group_agg_sets_encoded: one chunk pass over every referenced column
@@ -1435,7 +1461,7 @@ def _agg_partials(
         raise ValueError(f"{op}: duplicate key columns {keys}")
     agg_cols = sorted({c for _, c, _ in specs if c != "*"})
     refs = _where_refs(where)
-    dtypes, schema_cols = _dtype_map(chunks, keys + agg_cols + refs, op)
+    dtypes, schema_cols = _dtype_map(chunks, keys + agg_cols + refs, op, schema_cols)
 
     # per referenced column: "decode" lane (numeric — one decode serves
     # every agg) or "codes" lane (dictionary-domain count/min/max only)
@@ -1568,6 +1594,7 @@ def group_agg_sets_encoded(
     sets: "list[list[str]] | str",
     colocated: bool = False,
     where: Pred | None = None,
+    schema_cols=None,
 ) -> DataFrame:
     """GROUPING SETS / ROLLUP / CUBE over encoded data with ONE chunk
     pass: ``SELECT keys, aggs..., grouping_id GROUP BY GROUPING SETS
@@ -1619,7 +1646,8 @@ def group_agg_sets_encoded(
         seen_sets.add(t)
     specs = _norm_agg_specs("group_agg_sets_encoded", aggs, keys + ["gid"])
     partials, merges = _agg_partials(
-        "group_agg_sets_encoded", chunks, keys, keys, specs, colocated, where
+        "group_agg_sets_encoded", chunks, keys, keys, specs, colocated,
+        where, schema_cols,
     )
     gs = partials.groupingSets(
         [[F.col(f"`{k}`") for k in s] for s in sets],
@@ -1641,6 +1669,7 @@ def time_rollup_encoded(
     colocated: bool = False,
     where: Pred | None = None,
     bucket_name: str = "bucket",
+    schema_cols=None,
 ) -> DataFrame:
     """Time-bucketed rollup over encoded data — the hypertable/continuous
     -aggregate shape: ``SELECT date_trunc(unit, ts) AS bucket, aggs...
@@ -1662,4 +1691,5 @@ def time_rollup_encoded(
         colocated=colocated,
         where=where,
         derive={bucket_name: f"date_trunc('{u}', `{ts_col}`)"},
+        schema_cols=schema_cols,
     )

@@ -65,6 +65,7 @@ def join_encoded(
     where: Pred | None = None,
     colocated: bool = False,
     max_dim_rows: int = 2_000_000,
+    schema_cols=None,
 ) -> DataFrame:
     """Equi-join the encoded fact table against a small ``dim`` DataFrame.
 
@@ -110,7 +111,8 @@ def join_encoded(
     if unknown_dim:
         raise ValueError(f"join_encoded: unknown dim columns {unknown_dim}")
 
-    schema_cols = discover_schema(chunks)
+    if schema_cols is None:
+        schema_cols = discover_schema(chunks)
     if columns is None:
         columns = [c for c, _, _ in schema_cols]
     collide = sorted(set(columns) & set(dim_columns))
@@ -121,7 +123,7 @@ def join_encoded(
         )
     refs = sorted(referenced_columns(where)) if where is not None else []
     needed = sorted({fact_key, *columns, *refs})
-    dtypes, _ = _dtype_map(chunks, needed, "join_encoded")
+    dtypes, _ = _dtype_map(chunks, needed, "join_encoded", schema_cols)
     key_dtype = dtypes[fact_key]
     key_t = typemap.spark_to_arrow(key_dtype)
 

@@ -920,3 +920,43 @@ def test_group_agg_colocated_no_exchange_below_kernel(doc_chunks):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.split("InMemoryTableScan", 1)[0].count("MapInArrow") == 1
+
+
+def test_schema_cols_skips_discovery(docs, doc_chunks, monkeypatch):
+    """A caller-supplied schema_cols (decode's contract, now on the whole
+    encoded family) must skip the discover_schema ACTION — one extra
+    Spark job per query otherwise — and still validate unknown columns."""
+    import parquet_extra_spark.engine.encoded_agg as ea
+    from parquet_extra_spark.engine.encoded_agg import (
+        group_agg_encoded,
+        group_sum_encoded,
+        value_counts_encoded,
+    )
+
+    sc = pes.schema_from_struct(docs.schema)
+
+    def boom(_):
+        raise AssertionError("discover_schema ran despite schema_cols")
+
+    monkeypatch.setattr(ea, "discover_schema", boom)
+    got = {
+        r["key"]: r["s"]
+        for r in group_sum_encoded(
+            doc_chunks, "lang", "n_chars", colocated=True, schema_cols=sc
+        ).collect()
+    }
+    want = {
+        r["lang"]: r["s"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    assert got == want
+    assert value_counts_encoded(
+        doc_chunks, "lang", schema_cols=sc
+    ).count() == docs.select("lang").distinct().count()
+    n = group_agg_encoded(
+        doc_chunks, "lang", [("count", "*", "n")], colocated=True,
+        schema_cols=sc,
+    ).count()
+    assert n == docs.select("lang").distinct().count()
+    with pytest.raises(ValueError, match="unknown columns"):
+        group_sum_encoded(doc_chunks, "lang", "nope", schema_cols=sc)
