@@ -1009,6 +1009,131 @@ def q_datasource_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the user's most recent click at-or-before
+    it — the time-since-last-touch attribution shape, via the asof join
+    (union+window, one shuffle). Oracled by DuckDB ASOF LEFT JOIN."""
+    from parquet_extra_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="p_ts", right_time="c_ts",
+        right_cols=["click_id", "value"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_us"),
+        "click_id",
+        F.round("value", 4).alias("click_value"),
+    )
+
+
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward asof with tolerance: for each error event, the user's NEXT
+    click within one hour (inner — error events with no near click drop)."""
+    from parquet_extra_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", left_time="e_ts", right_time="c_ts",
+        right_cols=["click_id"], direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"), how="inner",
+    )
+    return out.select(
+        "error_id",
+        "user_id",
+        F.unix_micros(F.col("e_ts").cast("timestamp")).alias("error_us"),
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_us"),
+        "click_id",
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join planned as a bucketed equi-join: orders
+    against overlapping price bands, aggregated per band. Decimal sums
+    keep the hash comparison exact (prices are 2-dp by construction)."""
+    from parquet_extra_spark.operators.temporal import range_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bands = spark.createDataFrame(
+        [
+            (0.0, 50_000.0, "low"),
+            (25_000.0, 100_000.0, "mid"),
+            (75_000.0, 200_000.0, "high"),
+            (150_000.0, 600_000.0, "tail"),
+        ],
+        schema="lo double, hi double, band string",
+    )
+    pts = orders.select("o_orderkey", "o_totalprice")
+    out = range_join(pts, bands, "o_totalprice", "lo", "hi", bucket_width=25_000.0)
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) of the events
+    stream, one row per (user, session) with start/end/count/value."""
+    from parquet_extra_spark.operators.temporal import session_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_windows(
+        ev, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"), tiebreak="event_id",
+        aggs=[
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value")
+        ],
+    )
+    return out.select(
+        "user_id",
+        "session_n",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashed doc_id —
+    bit-identical in ANSI SQL (same md5 lane as the dedup sketches), so
+    split membership is auditable by an external engine."""
+    from parquet_extra_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    out = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="sg4"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("char_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1078,6 +1203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_dim_join": q_encoded_dim_join,
         "encoded_left_join": q_encoded_left_join,
         "encoded_semijoin": q_encoded_semijoin,
+        "asof_attribution": q_asof_attribution,
+        "asof_next_click": q_asof_next_click,
+        "range_join_bands": q_range_join_bands,
+        "sessionize_events": q_sessionize_events,
+        "hash_split": q_hash_split,
     }
 
 
@@ -1644,4 +1774,62 @@ def oracle_sql() -> dict[str, str]:
         "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
+        "asof_attribution": (
+            "WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts"
+            " FROM events WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, ts AS c_ts, event_id AS click_id, value"
+            " FROM events WHERE event_type = 'click')"
+            " SELECT p.purchase_id, p.user_id,"
+            " epoch_us(p.p_ts) AS purchase_us, epoch_us(c.c_ts) AS click_us,"
+            " c.click_id, round(c.value, 4) AS click_value"
+            " FROM p ASOF LEFT JOIN c"
+            " ON p.user_id = c.user_id AND p.p_ts >= c.c_ts"
+        ),
+        "asof_next_click": (
+            "WITH e AS (SELECT user_id, event_id AS error_id, ts AS e_ts"
+            " FROM events WHERE event_type = 'error'),"
+            " c AS (SELECT user_id, ts AS c_ts, event_id AS click_id"
+            " FROM events WHERE event_type = 'click')"
+            " SELECT e.error_id, e.user_id,"
+            " epoch_us(e.e_ts) AS error_us, epoch_us(c.c_ts) AS click_us,"
+            " c.click_id"
+            " FROM e ASOF JOIN c ON e.user_id = c.user_id AND e.e_ts <= c.c_ts"
+            " WHERE c.c_ts - e.e_ts <= INTERVAL 1 HOUR"
+        ),
+        "range_join_bands": (
+            "WITH bands(lo, hi, band) AS (VALUES"
+            " (0.0, 50000.0, 'low'), (25000.0, 100000.0, 'mid'),"
+            " (75000.0, 200000.0, 'high'), (150000.0, 600000.0, 'tail'))"
+            " SELECT b.band, count(*) AS n_orders,"
+            " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            " AS sum_price"
+            " FROM orders o JOIN bands b"
+            " ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi"
+            " GROUP BY b.band"
+        ),
+        "sessionize_events": (
+            "WITH g AS (SELECT user_id, ts, event_id, value,"
+            " CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END"
+            " AS brk FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " s AS (SELECT user_id, ts, value,"
+            " CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n FROM g)"
+            " SELECT user_id, session_n,"
+            " epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,"
+            " count(*) AS n_events,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
+            " FROM s GROUP BY user_id, session_n"
+        ),
+        "hash_split": (
+            "WITH b AS (SELECT doc_id, n_chars,"
+            " ('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31) ||"
+            " 'sg4'), 1, 15))::BIGINT % 10000 AS bk FROM documents)"
+            " SELECT CASE WHEN bk < 9000 THEN 'train'"
+            " WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,"
+            " count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,"
+            " CAST(sum(n_chars) AS BIGINT) AS char_sum"
+            " FROM b GROUP BY 1"
+        ),
     }

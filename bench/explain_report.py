@@ -548,6 +548,71 @@ def main() -> None:
         formatted(seg) + "\n\nassertions: " + json.dumps(explain_summary(seg)),
     ))
 
+    from parquet_extra_spark.operators.temporal import (
+        asof_join, range_join, sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("p_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value")
+    asof = asof_join(purchases, clicks, on="user_id",
+                     left_time="p_ts", right_time="c_ts")
+    asof_plan = formatted(asof)
+    asof_exe = asof._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "as-of join (union+window)",
+        "No Join node at all: both sides Union into ONE Exchange on the "
+        "key + one in-partition Sort, then a running last(ignorenulls) "
+        "Window — sort-merge-join cost with zero row explosion. A theta "
+        "formulation (l.t >= r.t) would be a per-key quadratic "
+        "BroadcastNestedLoopJoin. "
+        f"Exchanges: {asof_exe.count('Exchange hashpartitioning')} "
+        f"(want 1), Join nodes: {asof_exe.count('Join')} (want 0).",
+        asof_plan,
+    ))
+
+    bands = spark.createDataFrame(
+        [(0.0, 50_000.0, "low"), (25_000.0, 100_000.0, "mid"),
+         (75_000.0, 200_000.0, "high"), (150_000.0, 600_000.0, "tail")],
+        schema="lo double, hi double, band string")
+    rj = range_join(o.select("o_orderkey", "o_totalprice"), bands,
+                    "o_totalprice", "lo", "hi", bucket_width=25_000.0)
+    sections.append((
+        "range join (bucketed interval equi-join)",
+        "The BETWEEN theta-join becomes an equi-join on the bucket key: "
+        "the tiny exploded bands side broadcasts, the fact side never "
+        "shuffles for the join, and the exact bound check runs post-join. "
+        "Interval replication bounded by max_buckets_per_range.",
+        formatted(rj) + "\n\nassertions: " + json.dumps(explain_summary(rj)),
+    ))
+
+    sess = sessionize(ev, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"),
+                      tiebreak="event_id")
+    sess_plan = formatted(sess)
+    sess_exe = sess._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "sessionization (lag + running sum)",
+        "One Exchange on the key; the lag and the running session counter "
+        "share a single in-partition Sort (two Window ops, one sort). "
+        f"Exchanges: {sess_exe.count('Exchange hashpartitioning')} "
+        "(want 1).",
+        sess_plan,
+    ))
+
+    from parquet_extra_spark.operators.sampling import hash_split
+
+    hs = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    hs_plan = formatted(hs)
+    sections.append((
+        "deterministic hash split",
+        "Map-only Catalyst (md5 -> conv -> mod -> CASE) inside one "
+        "WholeStageCodegen span — no Exchange, no Python. "
+        f"Exchange-free: {'Exchange' not in hs_plan}.",
+        hs_plan,
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "EXPLAIN.md"), "w") as f:
         f.write(

@@ -1,0 +1,94 @@
+"""Deterministic, engine-portable sampling and split assignment.
+
+A training-data pipeline needs train/val/test membership that is
+(a) stable across reprocessing runs, (b) independent of partitioning
+and row order, and (c) auditable by an external engine.  Spark's
+``df.sample``/``randomSplit`` give none of these (seeded per-partition
+RNG).  Here membership is a pure function of a row's id:
+
+    bucket(id) = int(md5(id <US> salt)[:15 hex]) mod 10_000
+
+which is bit-identical in ANSI SQL
+(``('0x' || substr(md5(id || chr(31) || salt), 1, 15))::BIGINT % 10000``
+in DuckDB) — the same md5 lane used by the dedup sketches
+(operators/dedup.py).  100-TB notes: map-only Catalyst expressions,
+no shuffle, whole-stage codegen; a split column written at ingest is a
+dictionary-friendly low-cardinality string the chunk encoder stores in
+~2 bits/row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_bucket", "hash_split", "hash_sample"]
+
+_BUCKETS = 10_000
+_SEP = "\x1f"  # unit separator: cannot appear in numeric ids
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from an id column.
+
+    ``conv(substr(md5(s),1,15),16,10)`` is at most 2^60-1, so the mod
+    and all arithmetic stay in exact int64 range on both engines.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    s = F.concat_ws(_SEP, c.cast("string"), F.lit(salt))
+    return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _BUCKETS)
+
+
+def oracle_bucket_sql(id_expr: str, salt: str = "") -> str:
+    """The DuckDB expression computing the same bucket — for oracles."""
+    return (
+        f"(('0x' || substr(md5(cast({id_expr} as varchar) || chr(31) || "
+        f"'{salt}'), 1, 15))::BIGINT % {_BUCKETS})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hashed id.
+
+    ``weights`` maps label -> fraction (must sum to 1 within 1e-9);
+    labels fill bucket ranges in dict insertion order, so
+    ``{"train": .9, "val": .05, "test": .05}`` puts buckets [0,9000)
+    in train, [9000,9500) in val, [9500,10000) in test.  Rows sharing
+    an id always share a split — across runs, engines, and clusters.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = hash_bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, frac in labels[:-1]:
+        acc += frac
+        bound = int(round(acc * _BUCKETS))
+        branch = F.when(b < bound, F.lit(label))
+        expr = branch if expr is None else expr.when(b < bound, F.lit(label))
+    last = F.lit(labels[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by hashed id.
+
+    Samples are NESTED across fractions (a 1% sample is a subset of the
+    10% sample with the same salt) — the property that makes scaling
+    curves and progressive data ablations consistent.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    bound = int(round(fraction * _BUCKETS))
+    return df.where(hash_bucket(id_col, salt) < bound)

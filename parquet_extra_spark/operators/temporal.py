@@ -1,0 +1,306 @@
+"""Temporal relational operators: as-of join, range join, sessionization.
+
+Spark lacks these as built-ins; each is expressed as a composition of
+existing DataFrame operators so Catalyst/Tungsten keep the whole plan
+JVM-side (no Python in the hot path):
+
+* as-of join — the union+window formulation: tag both inputs, union,
+  and carry the most recent right-side row forward with
+  ``last(struct, ignorenulls=True)`` over ``(key ORDER BY t, side)``.
+  One shuffle on the key and an in-partition sort — exactly the cost
+  profile of a sort-merge join, with no row explosion and O(1) state
+  per partition row.  This is the standard large-scale formulation
+  (same shape as Flink's event-time temporal join); a pairwise
+  ``l.t >= r.t`` theta-join would be quadratic per key.
+* range join (point-in-interval) — bucketize: each interval is exploded
+  to the fixed-width buckets it overlaps, each point maps to exactly
+  one bucket, and the candidate pairs come from an equi-join on
+  ``(bucket [, key])`` followed by the exact ``lo <= p < hi`` recheck.
+  Turns an unplannable theta-join into a shuffle-partitionable
+  equi-join; interval replication is bounded by ``max_buckets_per_range``.
+* sessionization — gap-based session ids via ``lag`` + running sum over
+  ``(key ORDER BY t, tiebreak)``: one shuffle on the key, two window
+  passes over the same sort (Catalyst reuses the sort), no state beyond
+  the running counter.
+
+Reference parity note: the reference engine (nevillelyh/parquet-extra)
+has no temporal operators — this module is part of the Spark-native
+extension surface (SURVEY.md §2-ext), with DuckDB ``ASOF JOIN`` /
+window SQL as the correctness oracle.
+
+100-TB notes: every operator here shuffles each input exactly once on
+its key (or bucket); skewed keys are AQE's problem (skew-join splitting
+applies because these are plain Exchange+Sort plans). The as-of window
+function is not rows-unbounded-buffering: ``last`` over
+``rowsBetween(unboundedPreceding, currentRow)`` is a running
+accumulator, so Tungsten's window operator streams it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join", "sessionize", "session_windows"]
+
+_SIDE = "__asof_side"
+_T = "__asof_t"
+_MATCH = "__asof_match"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    *,
+    right_on: str | list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join each left row to the nearest right row at-or-before (backward)
+    or at-or-after (forward) its timestamp, per key.
+
+    Matches DuckDB ``ASOF [LEFT] JOIN ... ON l.k = r.k AND l.t >= r.t``
+    (backward) / ``l.t <= r.t`` (forward), which is the oracle used by
+    the ``asof_join*`` entry queries.  Ties at equal timestamps match
+    (inclusive), as in DuckDB and pandas ``merge_asof``.
+
+    The right side must be unique per ``(on..., right_time)`` for the
+    result to be well-defined; pre-aggregate (e.g. ``max_by``) if not.
+
+    ``tolerance``: maximum allowed ``|l.t - r.t|``, same type algebra as
+    the time columns (for timestamps pass e.g.
+    ``F.expr("INTERVAL 1 HOUR")``); matches farther away become NULL
+    (how="left") or are dropped (how="inner").
+
+    Plan shape: Union -> Exchange(hashpartitioning(on)) -> Sort(t, side)
+    -> Window(last ignorenulls) -> Filter.  One shuffle total.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_on is not None:
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        if len(rkeys) != len(keys):
+            raise ValueError("right_on must name one column per `on` key")
+        for rk, k in zip(rkeys, keys):
+            if rk != k:
+                right = right.withColumnRenamed(rk, k)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_time
+        ]
+    # the matched right timestamp always rides along (needed for tolerance,
+    # and generally useful); payload NULLs inside the struct survive the
+    # ignorenulls-last because the struct itself is non-null for right rows.
+    rstruct = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(
+            right.select(rstruct.alias("s")).schema["s"].dataType
+        ).alias(_MATCH),
+    )
+    rhs = right.select(
+        *[
+            (
+                F.col(c).cast(left.schema[c].dataType)
+                if c in keys
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_time).alias(_T),
+        F.lit(0).alias(_SIDE),
+        rstruct.alias(_MATCH),
+    )
+
+    unioned = lhs.unionByName(rhs)
+
+    t_order = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(t_order, F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        _MATCH, F.last(_MATCH, ignorenulls=True).over(w)
+    ).where(F.col(_SIDE) == 1)
+
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        dist = (
+            F.col(_T) - F.col(f"{_MATCH}.__rt")
+            if direction == "backward"
+            else F.col(f"{_MATCH}.__rt") - F.col(_T)
+        )
+        matched = matched.withColumn(
+            _MATCH, F.when(dist <= tol, F.col(_MATCH))
+        )
+
+    if how == "inner":
+        matched = matched.where(F.col(_MATCH).isNotNull())
+
+    taken = set(left.columns)
+    out_cols = [F.col(c) for c in left.columns]
+    rt_name = right_time + (suffix if right_time in taken else "")
+    out_cols.append(F.col(f"{_MATCH}.__rt").alias(rt_name))
+    for c in right_cols:
+        out_cols.append(
+            F.col(f"{_MATCH}.{c}").alias(c + (suffix if c in taken else ""))
+        )
+    return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    on: list[str] | None = None,
+    bucket_width: float | int,
+    how: str = "inner",
+    closed: str = "both",
+    max_buckets_per_range: int = 4096,
+) -> DataFrame:
+    """Join points to the intervals containing them (point-in-interval).
+
+    Equivalent to ``points JOIN ranges ON p BETWEEN lo AND hi [AND keys]``
+    but planned as an equi-join: intervals are exploded to the
+    ``bucket_width``-wide buckets they overlap, points map to one bucket,
+    and the exact bound check runs after the equi-join.  Each point falls
+    in exactly one bucket, so no dedup is needed.
+
+    ``closed``: "both" (lo <= p <= hi), "left" (lo <= p < hi),
+    "right" (lo < p <= hi), "neither".
+
+    ``bucket_width`` trades replication (each interval appears
+    ceil(span/width)+1 times) against candidate-filter selectivity; pick
+    it near the median interval span.  Ranges whose span would exceed
+    ``max_buckets_per_range`` buckets raise rather than silently explode
+    a task (same guard idiom as dedup.allow_quadratic).
+
+    how="left" keeps match-less points with NULL range columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"bad closed={closed!r}")
+    keys = list(on or [])
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    b_lo = F.floor(F.col(lo_col) / w)
+    b_hi = F.floor(F.col(hi_col) / w)
+    n_buckets = (b_hi - b_lo + F.lit(1)).alias("__nb")
+    overflow = ranges.select(F.max(n_buckets).alias("m")).first()["m"]
+    if overflow is not None and overflow > max_buckets_per_range:
+        raise ValueError(
+            f"an interval spans {overflow} buckets > max_buckets_per_range="
+            f"{max_buckets_per_range}; raise bucket_width or the cap"
+        )
+
+    r = ranges.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+
+    lo_ok = (
+        F.col(point_col) >= F.col(lo_col)
+        if closed in ("both", "left")
+        else F.col(point_col) > F.col(lo_col)
+    )
+    hi_ok = (
+        F.col(point_col) <= F.col(hi_col)
+        if closed in ("both", "right")
+        else F.col(point_col) < F.col(hi_col)
+    )
+    cond = [p["__bucket"] == r["__bucket"]] + [p[k] == r[k] for k in keys]
+    joined = p.join(r, cond, "inner").where(lo_ok & hi_ok)
+
+    range_out = [c for c in ranges.columns if c not in keys]
+    out = joined.select(
+        *[p[c] for c in points.columns], *[r[c] for c in range_out]
+    )
+    if how == "left":
+        matched_keys = out.select(*[F.col(c) for c in points.columns]).distinct()
+        unmatched = points.join(
+            matched_keys, on=list(points.columns), how="left_anti"
+        )
+        for c in range_out:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(ranges.schema[c].dataType)
+            )
+        out = out.unionByName(unmatched)
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key: str | list[str],
+    time_col: str,
+    gap: Column | int | float,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session numbers per key.
+
+    A new session starts at the first event per key and whenever the
+    time since the previous event exceeds ``gap`` (same type algebra as
+    ``time_col``: for timestamps pass ``F.expr("INTERVAL 30 MINUTES")``).
+    Adds ``session_n`` (1-based, per key, in time order).
+
+    One shuffle on the key; the lag and the running sum share one sort.
+    Expressible in ANSI SQL (the oracle), unlike Spark's built-in
+    ``session_window`` which only yields windowed aggregates.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    gap_c = gap if isinstance(gap, Column) else F.lit(gap)
+    order = [F.col(time_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    is_new = (
+        F.when(F.lag(time_col).over(w).isNull(), 1)
+        .when(F.col(time_col) - F.lag(time_col).over(w) > gap_c, 1)
+        .otherwise(0)
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_n", F.sum(is_new).over(wrun))
+
+
+def session_windows(
+    events: DataFrame,
+    key: str | list[str],
+    time_col: str,
+    gap: Column | int | float,
+    *,
+    tiebreak: str | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Collapse sessionized events to one row per (key..., session_n)
+    with start/end/count plus caller aggregates."""
+    keys = [key] if isinstance(key, str) else list(key)
+    base = [
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    return (
+        sessionize(events, keys, time_col, gap, tiebreak=tiebreak)
+        .groupBy(*keys, "session_n")
+        .agg(*base, *(aggs or []))
+    )

@@ -1,0 +1,306 @@
+"""Temporal operators (asof_join / range_join / sessionize) and
+deterministic sampling, each checked against an independent DuckDB
+computation of the same semantics on the same rows."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_extra_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    session_windows,
+    sessionize,
+)
+from parquet_extra_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    oracle_bucket_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    L = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "lt": [5, 10, 3, 7, 1, 9],
+         "lv": ["a", "b", "c", "d", "e", "f"]}
+    )
+    R = pd.DataFrame(
+        {"k": [1, 1, 2, 4], "rt": [4, 10, 6, 1], "rv": [100.0, 200.0, None, 400.0]}
+    )
+    return L, R, spark.createDataFrame(L), spark.createDataFrame(R)
+
+
+def _duck(L, R, sql):
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    return con.sql(sql).df()
+
+
+class TestAsofJoin:
+    def test_backward_left_matches_duckdb(self, lr):
+        L, R, l, r = lr
+        got = asof_join(l, r, "k", "lt", "rt").orderBy("k", "lt").toPandas()
+        want = _duck(
+            L, R,
+            "select l.k, l.lt, l.lv, r.rt, r.rv from L l asof left join R r "
+            "on l.k = r.k and l.lt >= r.rt order by l.k, l.lt",
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_inner_drops_unmatched(self, lr):
+        L, R, l, r = lr
+        got = asof_join(l, r, "k", "lt", "rt", how="inner")
+        assert got.count() == 3  # (1,5) (1,10) (2,7)
+        assert got.where(F.col("rt").isNull()).count() == 0
+
+    def test_forward_with_tolerance(self, lr):
+        L, R, l, r = lr
+        got = (
+            asof_join(l, r, "k", "lt", "rt", direction="forward",
+                      tolerance=2, how="inner")
+            .orderBy("k", "lt").toPandas()
+        )
+        want = _duck(
+            L, R,
+            "select l.k, l.lt, l.lv, r.rt, r.rv from L l asof join R r "
+            "on l.k = r.k and l.lt <= r.rt where r.rt - l.lt <= 2 "
+            "order by l.k, l.lt",
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_tie_at_equal_time_matches(self, spark):
+        l = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10]}))
+        r = spark.createDataFrame(pd.DataFrame({"k": [1], "rt": [10], "rv": [7]}))
+        row = asof_join(l, r, "k", "lt", "rt").first()
+        assert row["rv"] == 7
+
+    def test_null_payload_in_matched_row_survives(self, lr):
+        # last(ignorenulls) must not skip past a matched right row whose
+        # PAYLOAD is null — the struct packing guarantees this.
+        L, R, l, r = lr
+        row = (
+            asof_join(l, r, "k", "lt", "rt")
+            .where((F.col("k") == 2) & (F.col("lt") == 7)).first()
+        )
+        assert row["rt"] == 6 and row["rv"] is None
+
+    def test_name_collision_suffix(self, spark):
+        l = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10], "v": [1]}))
+        r = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5], "v": [2]}))
+        out = asof_join(l, r, "k", "t", "t")
+        assert set(out.columns) == {"k", "t", "v", "t_r", "v_r"}
+        row = out.first()
+        assert row["v"] == 1 and row["v_r"] == 2 and row["t_r"] == 5
+
+    def test_multi_key(self, spark):
+        l = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 1], "b": ["x", "y"], "t": [10, 10]})
+        )
+        r = spark.createDataFrame(
+            pd.DataFrame({"a": [1, 1], "b": ["x", "y"], "t": [5, 8], "v": [1, 2]})
+        )
+        got = {
+            (row["a"], row["b"]): row["v"]
+            for row in asof_join(l, r, ["a", "b"], "t", "t").collect()
+        }
+        assert got == {(1, "x"): 1, (1, "y"): 2}
+
+    def test_single_shuffle_plan(self, lr):
+        # union+window = one Exchange total (both sides flow into the same
+        # hashpartitioning on the key); no Join node at all.
+        _, _, l, r = lr
+        plan = asof_join(l, r, "k", "lt", "rt")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_bad_args(self, lr):
+        _, _, l, r = lr
+        with pytest.raises(ValueError):
+            asof_join(l, r, "k", "lt", "rt", direction="sideways")
+        with pytest.raises(ValueError):
+            asof_join(l, r, "k", "lt", "rt", how="outer")
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def pr(self, spark):
+        P = pd.DataFrame({"p": [0.5, 1.0, 7.3, 12.0, 99.0]})
+        G = pd.DataFrame(
+            {"lo": [0.0, 1.0, 5.0], "hi": [1.0, 10.0, 8.0], "band": ["a", "b", "c"]}
+        )
+        return P, G, spark.createDataFrame(P), spark.createDataFrame(G)
+
+    def test_inner_matches_sql(self, pr):
+        P, G, pts, rng = pr
+        got = (
+            range_join(pts, rng, "p", "lo", "hi", bucket_width=2.0)
+            .orderBy("p", "band").toPandas()
+        )
+        con = duckdb.connect()
+        con.register("P", P)
+        con.register("G", G)
+        want = con.sql(
+            "select p.p, g.lo, g.hi, g.band from P p join G g "
+            "on p.p >= g.lo and p.p <= g.hi order by p.p, g.band"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_left_keeps_unmatched(self, pr):
+        _, _, pts, rng = pr
+        out = range_join(pts, rng, "p", "lo", "hi", bucket_width=2.0, how="left")
+        unmatched = out.where(F.col("band").isNull()).select("p").toPandas()
+        assert sorted(unmatched["p"]) == [12.0, 99.0]
+
+    def test_closed_variants(self, spark):
+        pts = spark.createDataFrame(pd.DataFrame({"p": [1.0, 2.0]}))
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [1.0], "hi": [2.0], "g": ["x"]})
+        )
+        n = lambda c: range_join(
+            pts, rng, "p", "lo", "hi", bucket_width=1.0, closed=c
+        ).count()
+        assert (n("both"), n("left"), n("right"), n("neither")) == (2, 1, 1, 0)
+
+    def test_bucket_width_invariance(self, pr):
+        P, G, pts, rng = pr
+        a = range_join(pts, rng, "p", "lo", "hi", bucket_width=0.7)
+        b = range_join(pts, rng, "p", "lo", "hi", bucket_width=50.0)
+        key = lambda df: sorted(map(tuple, df.toPandas().values.tolist()))
+        assert key(a) == key(b)
+
+    def test_explosion_guard(self, pr):
+        _, _, pts, rng = pr
+        with pytest.raises(ValueError, match="max_buckets_per_range"):
+            range_join(pts, rng, "p", "lo", "hi", bucket_width=0.001,
+                       max_buckets_per_range=100)
+
+    def test_keyed(self, spark):
+        pts = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "p": [5.0, 5.0]})
+        )
+        rng = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "lo": [0.0, 6.0], "hi": [10.0, 7.0],
+                          "g": ["x", "y"]})
+        )
+        out = range_join(pts, rng, "p", "lo", "hi", on=["k"], bucket_width=5.0)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["g"] == "x"
+
+
+class TestSessionize:
+    def test_sessions_match_sql(self, spark):
+        E = pd.DataFrame(
+            {"u": [1] * 6 + [2] * 2, "t": [0, 5, 40, 41, 90, 91, 10, 100],
+             "eid": list(range(8))}
+        )
+        got = (
+            sessionize(spark.createDataFrame(E), "u", "t", 10, tiebreak="eid")
+            .orderBy("u", "t").toPandas()
+        )
+        con = duckdb.connect()
+        con.register("E", E)
+        want = con.sql(
+            """with g as (select *, case when lag(t) over w is null
+                 or t - lag(t) over w > 10 then 1 else 0 end as brk
+               from E window w as (partition by u order by t, eid))
+               select u, t, eid, sum(brk) over (partition by u order by t, eid
+                 rows unbounded preceding) as session_n
+               from g order by u, t"""
+        ).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
+    def test_gap_boundary_is_exclusive(self, spark):
+        # gap exactly equal to threshold does NOT break the session
+        ev = spark.createDataFrame(pd.DataFrame({"u": [1, 1], "t": [0, 10]}))
+        out = sessionize(ev, "u", "t", 10).select("session_n").toPandas()
+        assert list(out["session_n"]) == [1, 1]
+
+    def test_session_windows_aggs(self, spark):
+        ev = spark.createDataFrame(
+            pd.DataFrame({"u": [1, 1, 1], "t": [0, 5, 50], "v": [1.0, 2.0, 4.0]})
+        )
+        out = (
+            session_windows(ev, "u", "t", 10, aggs=[F.sum("v").alias("sv")])
+            .orderBy("session_n").toPandas()
+        )
+        assert list(out["n_events"]) == [2, 1]
+        assert list(out["sv"]) == [3.0, 4.0]
+        assert list(out["session_start"]) == [0, 50]
+        assert list(out["session_end"]) == [5, 50]
+
+    def test_single_shuffle_plan(self, spark):
+        ev = spark.createDataFrame(pd.DataFrame({"u": [1], "t": [0]}))
+        plan = sessionize(ev, "u", "t", 10)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSampling:
+    def test_split_matches_duckdb(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = (
+            hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                       salt="s42")
+            .groupBy("split").agg(F.count("*").alias("n"),
+                                  F.sum("doc_id").alias("id_sum"))
+            .orderBy("split").toPandas()
+        )
+        con = duckdb.connect()
+        b = oracle_bucket_sql("doc_id", "s42")
+        want = con.sql(
+            f"""with b as (select doc_id, {b} as bk
+                           from '{sf_dir}/documents.parquet')
+                select case when bk < 9000 then 'train'
+                            when bk < 9500 then 'val' else 'test' end as split,
+                       count(*) as n, sum(doc_id) as id_sum
+                from b group by 1 order by 1"""
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_split_covers_and_partitions(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5})
+        assert out.where(F.col("split").isNull()).count() == 0
+        assert out.count() == docs.count()
+
+    def test_sample_nested_and_deterministic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ten = set(r["doc_id"] for r in
+                  hash_sample(docs, "doc_id", 0.10, salt="z").collect())
+        one = set(r["doc_id"] for r in
+                  hash_sample(docs, "doc_id", 0.01, salt="z").collect())
+        again = set(r["doc_id"] for r in
+                    hash_sample(docs, "doc_id", 0.10, salt="z").collect())
+        assert one <= ten
+        assert ten == again
+
+    def test_bucket_range(self, spark):
+        df = spark.range(1000)
+        mm = df.select(
+            F.min(hash_bucket("id")).alias("lo"),
+            F.max(hash_bucket("id")).alias("hi"),
+        ).first()
+        assert 0 <= mm["lo"] and mm["hi"] < 10_000
+
+    def test_bad_weights(self, spark):
+        df = spark.range(10)
+        with pytest.raises(ValueError):
+            hash_split(df, "id", {"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError):
+            hash_sample(df, "id", 1.5)
+
+    def test_split_is_map_only(self, spark):
+        df = spark.range(10)
+        plan = hash_split(df, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
