@@ -1041,6 +1041,39 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same attribution query as asof_attribution but through the
+    zero-left-shuffle broadcast path (dim-sized right side collapses to
+    per-key sorted arrays, BroadcastHashJoin onto left, JVM-side array
+    reduce) — same DuckDB ASOF LEFT JOIN oracle proves equivalence."""
+    from parquet_extra_spark.operators.temporal import asof_join_broadcast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    out = asof_join_broadcast(
+        purchases, clicks, on="user_id", left_time="p_ts", right_time="c_ts",
+        right_cols=["click_id", "value"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("click_us"),
+        "click_id",
+        F.round("value", 4).alias("click_value"),
+    )
+
+
 def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward asof with tolerance: for each error event, the user's NEXT
     click within one hour (inner — error events with no near click drop)."""
@@ -1204,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_left_join": q_encoded_left_join,
         "encoded_semijoin": q_encoded_semijoin,
         "asof_attribution": q_asof_attribution,
+        "asof_broadcast": q_asof_broadcast,
         "asof_next_click": q_asof_next_click,
         "range_join_bands": q_range_join_bands,
         "sessionize_events": q_sessionize_events,
@@ -1775,6 +1809,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle(),
         "simhash_dedup": _simhash_oracle(),
         "asof_attribution": (
+            "WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts"
+            " FROM events WHERE event_type = 'purchase'),"
+            " c AS (SELECT user_id, ts AS c_ts, event_id AS click_id, value"
+            " FROM events WHERE event_type = 'click')"
+            " SELECT p.purchase_id, p.user_id,"
+            " epoch_us(p.p_ts) AS purchase_us, epoch_us(c.c_ts) AS click_us,"
+            " c.click_id, round(c.value, 4) AS click_value"
+            " FROM p ASOF LEFT JOIN c"
+            " ON p.user_id = c.user_id AND p.p_ts >= c.c_ts"
+        ),
+"asof_broadcast": (
             "WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts"
             " FROM events WHERE event_type = 'purchase'),"
             " c AS (SELECT user_id, ts AS c_ts, event_id AS click_id, value"

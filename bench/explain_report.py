@@ -573,6 +573,23 @@ def main() -> None:
         asof_plan,
     ))
 
+    from parquet_extra_spark.operators.temporal import asof_join_broadcast
+
+    asb = asof_join_broadcast(purchases, clicks, on="user_id",
+                              left_time="p_ts", right_time="c_ts")
+    asb_exe = asb._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "as-of join, broadcast variant (dim-sized right)",
+        "The fact/left side never shuffles: the right table collapses to "
+        "per-key time-sorted arrays (groupBy on the SMALL side only), "
+        "broadcast-hash-joins onto left, and the match is a codegen'd "
+        "array filter + element_at. "
+        f"BroadcastHashJoin: {'BroadcastHashJoin' in asb_exe}; hash "
+        f"Exchanges: {asb_exe.count('Exchange hashpartitioning')} "
+        "(want 1 — the dim-side groupBy; none on the left lineage).",
+        formatted(asb),
+    ))
+
     bands = spark.createDataFrame(
         [(0.0, 50_000.0, "low"), (25_000.0, 100_000.0, "mid"),
          (75_000.0, 200_000.0, "high"), (150_000.0, 600_000.0, "tail")],

@@ -40,7 +40,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "sessionize", "session_windows"]
+__all__ = [
+    "asof_join",
+    "asof_join_broadcast",
+    "range_join",
+    "sessionize",
+    "session_windows",
+]
 
 _SIDE = "__asof_side"
 _T = "__asof_t"
@@ -162,6 +168,110 @@ def asof_join(
             F.col(f"{_MATCH}.{c}").alias(c + (suffix if c in taken else ""))
         )
     return matched.select(*out_cols)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    *,
+    right_on: str | list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """asof_join for a dim-sized right table, with ZERO shuffle of left.
+
+    The union+window formulation (``asof_join``) shuffles the left table
+    on the key — correct at any size, but when the right side is a small
+    dimension (price marks, config changelog, slowly-changing state)
+    that shuffle moves the 100-TB side for nothing.  Here the right side
+    collapses to one sorted ``array<struct>`` per key (a groupBy on the
+    SMALL table only), broadcast-hash-joins onto left (no left Exchange),
+    and the match is a JVM-side ``aggregate(filter(arr, t<=lt), ...)``
+    reduce over the per-key array — O(|right rows for the key|) per left
+    row, entirely inside whole-stage codegen.
+
+    Same semantics as ``asof_join`` (inclusive ties, tolerance, how,
+    direction); identical results are pinned by tests.  Use when right
+    is broadcast-sized AND per-key right counts are modest (the per-row
+    scan is linear in them); otherwise use ``asof_join``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_on is not None:
+        rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+        if len(rkeys) != len(keys):
+            raise ValueError("right_on must name one column per `on` key")
+        for rk, k in zip(rkeys, keys):
+            if rk != k:
+                right = right.withColumnRenamed(rk, k)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_time
+        ]
+
+    rstruct = F.struct(
+        F.col(right_time).alias("__rt"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    rdim = (
+        right.where(F.col(right_time).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(rstruct),
+                # compare on time only: payload columns need not be orderable
+                lambda x, y: F.when(x["__rt"] < y["__rt"], -1)
+                .when(x["__rt"] > y["__rt"], 1)
+                .otherwise(0),
+            ).alias("__arr")
+        )
+    )
+
+    joined = left.join(F.broadcast(rdim), on=keys, how="left")
+
+    lt = F.col(left_time)
+    if direction == "backward":
+        cand = F.filter(F.col("__arr"), lambda x: x["__rt"] <= lt)
+        # candidates are time-sorted ascending: the match is the LAST
+        best = F.element_at(cand, -1)
+    else:
+        cand = F.filter(F.col("__arr"), lambda x: x["__rt"] >= lt)
+        best = F.element_at(cand, 1)
+    joined = joined.withColumn(
+        _MATCH, F.when(F.size(cand) > 0, best)
+    )
+
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        dist = (
+            lt - F.col(f"{_MATCH}.__rt")
+            if direction == "backward"
+            else F.col(f"{_MATCH}.__rt") - lt
+        )
+        joined = joined.withColumn(
+            _MATCH, F.when(dist <= tol, F.col(_MATCH))
+        )
+    if how == "inner":
+        joined = joined.where(F.col(_MATCH).isNotNull())
+
+    taken = set(left.columns)
+    out_cols = [F.col(c) for c in left.columns]
+    rt_name = right_time + (suffix if right_time in taken else "")
+    out_cols.append(F.col(f"{_MATCH}.__rt").alias(rt_name))
+    for c in right_cols:
+        out_cols.append(
+            F.col(f"{_MATCH}.{c}").alias(c + (suffix if c in taken else ""))
+        )
+    return joined.select(*out_cols)
 
 
 def range_join(

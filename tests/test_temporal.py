@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from parquet_extra_spark.operators.temporal import (
     asof_join,
+    asof_join_broadcast,
     range_join,
     session_windows,
     sessionize,
@@ -127,6 +128,61 @@ class TestAsofJoin:
             asof_join(l, r, "k", "lt", "rt", direction="sideways")
         with pytest.raises(ValueError):
             asof_join(l, r, "k", "lt", "rt", how="outer")
+
+
+class TestAsofJoinBroadcast:
+    @pytest.fixture(scope="class")
+    def fuzz(self, spark):
+        import random
+
+        random.seed(7)
+        L = pd.DataFrame(
+            {"k": [random.randint(0, 9) for _ in range(400)],
+             "lt": [random.randint(0, 1000) for _ in range(400)],
+             "lv": list(range(400))}
+        )
+        pairs = random.sample(
+            [(k, t) for k in range(12) for t in range(0, 1000, 7)], 300
+        )
+        R = pd.DataFrame(
+            {"k": [p[0] for p in pairs], "rt": [p[1] for p in pairs],
+             "rv": [random.choice([None, float(i)])
+                    for i, _ in enumerate(pairs)]}
+        )
+        return spark.createDataFrame(L), spark.createDataFrame(R)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [dict(), dict(direction="forward"), dict(tolerance=15),
+         dict(how="inner"),
+         dict(direction="forward", tolerance=15, how="inner")],
+        ids=["backward", "forward", "tolerance", "inner", "fwd-tol-inner"],
+    )
+    def test_matches_union_window_formulation(self, fuzz, kw):
+        l, r = fuzz
+        key = lambda df: sorted(
+            map(tuple, df.toPandas().fillna(-9).values.tolist())
+        )
+        assert key(asof_join_broadcast(l, r, "k", "lt", "rt", **kw)) == key(
+            asof_join(l, r, "k", "lt", "rt", **kw)
+        )
+
+    def test_left_side_never_shuffles(self, fuzz):
+        l, r = fuzz
+        plan = asof_join_broadcast(l, r, "k", "lt", "rt")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the ONE hash exchange is the dim-side groupBy; left flows
+        # scan -> broadcast join with no repartitioning
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_null_right_time_rows_ignored(self, spark):
+        l = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10]}))
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "rt": [pd.NA, 5], "rv": [9, 2]}),
+            schema="k long, rt long, rv long",
+        )
+        row = asof_join_broadcast(l, r, "k", "lt", "rt").first()
+        assert row["rt"] == 5 and row["rv"] == 2
 
 
 class TestRangeJoin:
