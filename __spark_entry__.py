@@ -1167,6 +1167,22 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (rebalance the language mix:
+    keep 20% of en, 50% of de, all else) — same md5 lane, auditable in
+    SQL; aggregated per lang so the oracle checks exact membership."""
+    from parquet_extra_spark.operators.sampling import stratified_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default=1.0, salt="st4"
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1242,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": q_range_join_bands,
         "sessionize_events": q_sessionize_events,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1876,5 +1893,15 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,"
             " CAST(sum(n_chars) AS BIGINT) AS char_sum"
             " FROM b GROUP BY 1"
+        ),
+        "stratified_sample": (
+            "WITH b AS (SELECT doc_id, lang,"
+            " ('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31) ||"
+            " 'st4'), 1, 15))::BIGINT % 10000 AS bk FROM documents)"
+            " SELECT lang, count(*) AS n_docs,"
+            " CAST(sum(doc_id) AS BIGINT) AS id_sum FROM b"
+            " WHERE bk < (CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000"
+            " ELSE 10000 END)"
+            " GROUP BY lang"
         ),
     }

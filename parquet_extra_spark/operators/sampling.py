@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_split", "hash_sample"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "hash_sample",
+    "stratified_hash_sample",
+]
 
 _BUCKETS = 10_000
 _SEP = "\x1f"  # unit separator: cannot appear in numeric ids
@@ -92,3 +97,34 @@ def hash_sample(
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     bound = int(round(fraction * _BUCKETS))
     return df.where(hash_bucket(id_col, salt) < bound)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the "rebalance sources /
+    languages in a training mix" operator.
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    keep ``default``.  Membership stays a pure function of (id, salt):
+    map-only, no shuffle, nested across fractions per stratum, and a
+    row keeps its fate when fractions for OTHER strata change.
+    """
+    for v, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0,1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0,1], got {default}")
+    b = hash_bucket(id_col, salt)
+    bound = F.lit(int(round(default * _BUCKETS)))
+    for v, f in fractions.items():
+        bound = F.when(
+            F.col(strata_col) == F.lit(v), F.lit(int(round(f * _BUCKETS)))
+        ).otherwise(bound)
+    return df.where(b < bound)

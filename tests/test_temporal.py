@@ -19,6 +19,7 @@ from parquet_extra_spark.operators.sampling import (
     hash_sample,
     hash_split,
     oracle_bucket_sql,
+    stratified_hash_sample,
 )
 
 
@@ -355,6 +356,37 @@ class TestSampling:
             hash_split(df, "id", {"a": 0.5, "b": 0.4})
         with pytest.raises(ValueError):
             hash_sample(df, "id", 1.5)
+
+    def test_stratified_per_stratum_and_stable(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        frac = {"en": 0.2, "de": 0.5}
+        out = stratified_hash_sample(
+            docs, "doc_id", "lang", frac, default=1.0, salt="st"
+        )
+        # per-stratum membership equals the flat sample of that stratum
+        for lang, f in frac.items():
+            want = set(
+                r["doc_id"]
+                for r in hash_sample(
+                    docs.where(F.col("lang") == lang), "doc_id", f, salt="st"
+                ).collect()
+            )
+            got = set(
+                r["doc_id"]
+                for r in out.where(F.col("lang") == lang).collect()
+            )
+            assert got == want
+        # unlisted strata keep default=1.0 (everything)
+        others = docs.where(~F.col("lang").isin(list(frac)))
+        assert out.where(~F.col("lang").isin(list(frac))).count() == others.count()
+        # a row's fate is independent of OTHER strata's fractions
+        out2 = stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "de": 0.9}, default=1.0,
+            salt="st",
+        )
+        en1 = set(r["doc_id"] for r in out.where("lang = 'en'").collect())
+        en2 = set(r["doc_id"] for r in out2.where("lang = 'en'").collect())
+        assert en1 == en2
 
     def test_split_is_map_only(self, spark):
         df = spark.range(10)
