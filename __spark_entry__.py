@@ -1183,6 +1183,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE composed plan: exact dedup
+    (deterministic fingerprint tie-break) -> quality gate -> deterministic
+    90/5/5 split -> per-(split, lang) manifest. Every stage is an
+    operator from the package; the oracle replays the identical pipeline
+    in SQL, so the whole composition is value-checked, not just stages."""
+    from parquet_extra_spark.operators.dedup import exact_dedup
+    from parquet_extra_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    deduped = exact_dedup(docs, text_col="text")
+    gated = deduped.where(F.col("n_chars") >= 50)
+    split = hash_split(
+        gated, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="pipe"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1259,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pipeline_prepare": q_pipeline_prepare,
     }
 
 
@@ -1903,5 +1925,23 @@ def oracle_sql() -> dict[str, str]:
             " WHERE bk < (CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000"
             " ELSE 10000 END)"
             " GROUP BY lang"
+        ),
+        "pipeline_prepare": (
+            "WITH f AS (SELECT *, sha256(text) AS fp,"
+            " sha256(concat_ws(chr(31),"
+            " coalesce(cast(doc_id AS VARCHAR), chr(0)),"
+            " coalesce(text, chr(0)), coalesce(lang, chr(0)),"
+            " coalesce(source, chr(0)),"
+            " coalesce(cast(n_chars AS VARCHAR), chr(0)))) AS ok"
+            " FROM documents),"
+            " d AS (SELECT * FROM (SELECT *, row_number() OVER"
+            " (PARTITION BY fp ORDER BY ok) AS rn FROM f) WHERE rn = 1),"
+            " q AS (SELECT * FROM d WHERE n_chars >= 50),"
+            " s AS (SELECT *, ('0x' || substr(md5(cast(doc_id AS VARCHAR)"
+            " || chr(31) || 'pipe'), 1, 15))::BIGINT % 10000 AS bk FROM q)"
+            " SELECT CASE WHEN bk < 9000 THEN 'train'"
+            " WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,"
+            " lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum"
+            " FROM s GROUP BY 1, 2"
         ),
     }

@@ -336,6 +336,48 @@ def main() -> None:
     extra["groupby_encoded_vs_decode"] = round(e_best / d_best, 4)
     extra["groupby_pairs"] = _gb_pairs
 
+    # paired NON-headline probe: the same as-of attribution query through
+    # the union+window plan (one shuffle of both sides) vs the broadcast
+    # plan (zero shuffle of the left side) — same-window pairs, same
+    # protocol as the groupby probe above
+    from parquet_extra_spark.operators.temporal import (
+        asof_join, asof_join_broadcast,
+    )
+
+    _ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    _ev.count()
+    _purch = _ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("p_ts"))
+    _clicks = _ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value")
+
+    def _asof_union():
+        asof_join(_purch, _clicks, on="user_id",
+                  left_time="p_ts", right_time="c_ts").count()
+
+    def _asof_bcast():
+        asof_join_broadcast(_purch, _clicks, on="user_id",
+                            left_time="p_ts", right_time="c_ts").count()
+
+    _asof_union()
+    _asof_bcast()
+    _asof_pairs = []
+    for i in range(2):
+        order = (_asof_union, _asof_bcast) if i % 2 == 0 else (_asof_bcast, _asof_union)
+        ts = []
+        for fn in order:
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+        u_s, b_s = (ts[0], ts[1]) if i % 2 == 0 else (ts[1], ts[0])
+        _asof_pairs.append((u_s, b_s))
+    u_best, b_best = min(_asof_pairs, key=lambda p: p[0] + p[1])
+    extra["asof_union_sec"] = u_best
+    extra["asof_broadcast_sec"] = b_best
+    extra["asof_broadcast_vs_union"] = round(b_best / u_best, 4)
+    extra["asof_pairs"] = _asof_pairs
+    _ev.unpersist()
+
     # --- driver-table queries (same set the correctness gate runs)
     qs = entry_mod.queries()
     names = [
