@@ -1126,6 +1126,37 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval) as a bucketed
+    equi-join with one-owner-bucket dedup: each order's price window
+    [price, price+25000] against the static bands; per-band pair count
+    and key sum. Oracle is the plain overlap theta-join."""
+    from parquet_extra_spark.operators.temporal import interval_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 25_000.0).alias("hi"),
+    )
+    bands = spark.createDataFrame(
+        [
+            (0.0, 50_000.0, "low"),
+            (25_000.0, 100_000.0, "mid"),
+            (75_000.0, 200_000.0, "high"),
+            (150_000.0, 600_000.0, "tail"),
+        ],
+        schema="blo double, bhi double, band string",
+    )
+    out = interval_join(
+        iv, bands, ("lo", "hi"), ("blo", "bhi"), bucket_width=25_000.0
+    )
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity) of the events
     stream, one row per (user, session) with start/end/count/value."""
@@ -1277,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_broadcast": q_asof_broadcast,
         "asof_next_click": q_asof_next_click,
         "range_join_bands": q_range_join_bands,
+        "interval_overlap": q_interval_overlap,
         "sessionize_events": q_sessionize_events,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1889,6 +1921,17 @@ def oracle_sql() -> dict[str, str]:
             " AS sum_price"
             " FROM orders o JOIN bands b"
             " ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi"
+            " GROUP BY b.band"
+        ),
+        "interval_overlap": (
+            "WITH bands(blo, bhi, band) AS (VALUES"
+            " (0.0, 50000.0, 'low'), (25000.0, 100000.0, 'mid'),"
+            " (75000.0, 200000.0, 'high'), (150000.0, 600000.0, 'tail')),"
+            " iv AS (SELECT o_orderkey, o_totalprice AS lo,"
+            " o_totalprice + 25000.0 AS hi FROM orders)"
+            " SELECT b.band, count(*) AS n_pairs,"
+            " CAST(sum(iv.o_orderkey) AS BIGINT) AS key_sum"
+            " FROM iv JOIN bands b ON iv.lo <= b.bhi AND b.blo <= iv.hi"
             " GROUP BY b.band"
         ),
         "sessionize_events": (

@@ -44,6 +44,7 @@ __all__ = [
     "asof_join",
     "asof_join_broadcast",
     "range_join",
+    "interval_join",
     "sessionize",
     "session_windows",
 ]
@@ -356,6 +357,66 @@ def range_join(
             )
         out = out.unionByName(unmatched)
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    *,
+    on: list[str] | None = None,
+    bucket_width: float | int,
+    suffix: str = "_r",
+    max_buckets_per_range: int = 4096,
+) -> DataFrame:
+    """Join interval pairs that overlap: ``l.lo <= r.hi AND r.lo <= l.hi``
+    (closed bounds), planned as a bucketed equi-join.
+
+    Both sides explode to the fixed-width buckets they overlap; a
+    candidate pair shares every bucket its intersection covers, so to
+    emit each pair EXACTLY ONCE the pair is "owned" by the single bucket
+    containing ``max(l.lo, r.lo)`` — the intersection's left edge (the
+    standard one-owner dedup for symmetric spatial/interval joins; no
+    distinct pass, no dedup shuffle).
+
+    Interval replication per side is bounded by ``max_buckets_per_range``
+    (raise ``bucket_width`` for long intervals).  Overlapping-key columns
+    on the right get ``suffix``.
+    """
+    l_lo, l_hi = left_bounds
+    r_lo, r_hi = right_bounds
+    keys = list(on or [])
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        b_lo = F.floor(F.col(lo) / w)
+        b_hi = F.floor(F.col(hi) / w)
+        n = df.select(F.max(b_hi - b_lo + F.lit(1)).alias("m")).first()["m"]
+        if n is not None and n > max_buckets_per_range:
+            raise ValueError(
+                f"an interval spans {n} buckets > max_buckets_per_range="
+                f"{max_buckets_per_range}; raise bucket_width or the cap"
+            )
+        return df.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+
+    le = _explode(left, l_lo, l_hi)
+    re = _explode(right, r_lo, r_hi)
+
+    cond = [le["__bucket"] == re["__bucket"]] + [le[k] == re[k] for k in keys]
+    overlap = (le[l_lo] <= re[r_hi]) & (re[r_lo] <= le[l_hi])
+    owner = le["__bucket"] == F.floor(F.greatest(le[l_lo], re[r_lo]) / w)
+    joined = le.join(re, cond, "inner").where(overlap & owner)
+
+    taken = set(left.columns)
+    out = [le[c] for c in left.columns]
+    for c in right.columns:
+        if c in keys:
+            continue
+        out.append(re[c].alias(c + (suffix if c in taken else "")))
+    return joined.select(*out)
 
 
 def sessionize(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from parquet_extra_spark.operators.temporal import (
     asof_join,
     asof_join_broadcast,
+    interval_join,
     range_join,
     session_windows,
     sessionize,
@@ -252,6 +253,71 @@ class TestRangeJoin:
         out = range_join(pts, rng, "p", "lo", "hi", on=["k"], bucket_width=5.0)
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["g"] == "x"
+
+
+class TestIntervalJoin:
+    @pytest.fixture(scope="class")
+    def ab(self, spark):
+        import random
+
+        random.seed(3)
+        A = pd.DataFrame(
+            {"aid": range(120),
+             "alo": [random.uniform(0, 1000) for _ in range(120)]}
+        )
+        A["ahi"] = A.alo + [random.uniform(0, 80) for _ in range(120)]
+        B = pd.DataFrame(
+            {"bid": range(90),
+             "blo": [random.uniform(0, 1000) for _ in range(90)]}
+        )
+        B["bhi"] = B.blo + [random.uniform(0, 120) for _ in range(90)]
+        return A, B, spark.createDataFrame(A), spark.createDataFrame(B)
+
+    @pytest.mark.parametrize("w", [10.0, 37.0, 500.0])
+    def test_matches_sql_overlap_no_dupes(self, ab, w):
+        A, B, l, r = ab
+        got = sorted(
+            (row["aid"], row["bid"])
+            for row in interval_join(
+                l, r, ("alo", "ahi"), ("blo", "bhi"), bucket_width=w
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("A", A)
+        con.register("B", B)
+        want = sorted(map(tuple, con.sql(
+            "select aid, bid from A join B on alo <= bhi and blo <= ahi"
+        ).fetchall()))
+        assert got == want
+        assert len(got) == len(set(got))  # owner-bucket dedup: no dupes
+
+    def test_touching_endpoints_overlap(self, spark):
+        l = spark.createDataFrame(pd.DataFrame({"alo": [0.0], "ahi": [5.0]}))
+        r = spark.createDataFrame(pd.DataFrame({"blo": [5.0], "bhi": [9.0]}))
+        assert interval_join(
+            l, r, ("alo", "ahi"), ("blo", "bhi"), bucket_width=3.0
+        ).count() == 1
+
+    def test_keyed_and_suffix(self, spark):
+        l = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "lo": [0.0, 0.0], "hi": [9.0, 9.0]})
+        )
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "lo": [5.0, 20.0], "hi": [6.0, 30.0]})
+        )
+        out = interval_join(
+            l, r, ("lo", "hi"), ("lo", "hi"), on=["k"], bucket_width=10.0
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        assert set(out.columns) == {"k", "lo", "hi", "lo_r", "hi_r"}
+        assert rows[0]["k"] == 1 and rows[0]["lo_r"] == 5.0
+
+    def test_explosion_guard(self, ab):
+        _, _, l, r = ab
+        with pytest.raises(ValueError, match="max_buckets_per_range"):
+            interval_join(l, r, ("alo", "ahi"), ("blo", "bhi"),
+                          bucket_width=0.001, max_buckets_per_range=50)
 
 
 class TestSessionize:
