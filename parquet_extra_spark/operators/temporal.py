@@ -120,6 +120,9 @@ def asof_join(
             right.select(rstruct.alias("s")).schema["s"].dataType
         ).alias(_MATCH),
     )
+    # right rows with NULL time can never match (SQL comparison is NULL);
+    # drop them so their non-null match struct can't be inherited
+    right = right.where(F.col(right_time).isNotNull())
     rhs = right.select(
         *[
             (
@@ -136,7 +139,14 @@ def asof_join(
 
     unioned = lhs.unionByName(rhs)
 
-    t_order = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    # nulls FIRST in both directions: a left row with NULL time sorts
+    # before every right row and inherits no match (SQL: NULL time
+    # matches nothing). Spark's desc default is nulls LAST — explicit.
+    t_order = (
+        F.col(_T).asc_nulls_first()
+        if direction == "backward"
+        else F.col(_T).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(t_order, F.col(_SIDE).asc())

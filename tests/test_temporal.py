@@ -124,6 +124,32 @@ class TestAsofJoin:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
 
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_null_left_time_matches_nothing(self, spark, direction):
+        l = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "lt": [10, pd.NA]}),
+            schema="k long, lt long",
+        )
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "rt": [10], "rv": [7]})
+        )
+        rows = {
+            row["lt"]: row["rv"]
+            for row in asof_join(l, r, "k", "lt", "rt",
+                                 direction=direction).collect()
+        }
+        assert rows[10] == 7 and rows[None] is None
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_null_right_time_rows_ignored(self, spark, direction):
+        l = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10]}))
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "rt": [pd.NA, 10], "rv": [9, 2]}),
+            schema="k long, rt long, rv long",
+        )
+        row = asof_join(l, r, "k", "lt", "rt", direction=direction).first()
+        assert row["rt"] == 10 and row["rv"] == 2
+
     def test_bad_args(self, lr):
         _, _, l, r = lr
         with pytest.raises(ValueError):
