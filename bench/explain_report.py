@@ -605,6 +605,26 @@ def main() -> None:
         formatted(rj) + "\n\nassertions: " + json.dumps(explain_summary(rj)),
     ))
 
+    from parquet_extra_spark.operators.temporal import interval_join
+
+    iv = o.select("o_orderkey", F.col("o_totalprice").alias("lo"),
+                  (F.col("o_totalprice") + 25_000.0).alias("hi"))
+    bands2 = spark.createDataFrame(
+        [(0.0, 50_000.0, "low"), (25_000.0, 100_000.0, "mid"),
+         (75_000.0, 200_000.0, "high"), (150_000.0, 600_000.0, "tail")],
+        schema="blo double, bhi double, band string")
+    ivj = interval_join(iv, bands2, ("lo", "hi"), ("blo", "bhi"),
+                        bucket_width=25_000.0)
+    sections.append((
+        "interval-overlap join (one-owner-bucket dedup)",
+        "Interval x interval overlap as a bucketed equi-join: both sides "
+        "explode to their buckets, the small side broadcasts, and each "
+        "overlapping pair emits exactly once because it is owned by the "
+        "single bucket containing max(l.lo, r.lo) — no distinct pass, no "
+        "dedup shuffle.",
+        formatted(ivj) + "\n\nassertions: " + json.dumps(explain_summary(ivj)),
+    ))
+
     sess = sessionize(ev, "user_id", "ts", F.expr("INTERVAL 30 MINUTES"),
                       tiebreak="event_id")
     sess_plan = formatted(sess)
