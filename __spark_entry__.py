@@ -1181,6 +1181,24 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event counts per type with zero-filled silent hours —
+    the time_bucket_gapfill shape: sequence() per key builds the dense
+    axis, a left join attaches the sparse counts."""
+    from parquet_extra_spark.operators.temporal import gap_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return gap_fill(
+        hourly, "event_type", "hour_epoch", 3600, fill={"n_events": 0}
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by hashed doc_id —
     bit-identical in ANSI SQL (same md5 lane as the dedup sketches), so
@@ -1310,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": q_range_join_bands,
         "interval_overlap": q_interval_overlap,
         "sessionize_events": q_sessionize_events,
+        "gap_fill_hourly": q_gap_fill_hourly,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pipeline_prepare": q_pipeline_prepare,
@@ -1948,6 +1967,18 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_events,"
             " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
             " FROM s GROUP BY user_id, session_n"
+        ),
+        "gap_fill_hourly": (
+            "WITH h AS (SELECT event_type,"
+            " epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,"
+            " count(*) AS n FROM events GROUP BY 1, 2),"
+            " b AS (SELECT event_type, min(hour_epoch) AS lo,"
+            " max(hour_epoch) AS hi FROM h GROUP BY 1),"
+            " d AS (SELECT event_type,"
+            " unnest(generate_series(lo, hi, 3600)) AS hour_epoch FROM b)"
+            " SELECT d.event_type, d.hour_epoch,"
+            " CAST(coalesce(h.n, 0) AS BIGINT) AS n_events"
+            " FROM d LEFT JOIN h USING (event_type, hour_epoch)"
         ),
         "hash_split": (
             "WITH b AS (SELECT doc_id, n_chars,"

@@ -47,6 +47,7 @@ __all__ = [
     "interval_join",
     "sessionize",
     "session_windows",
+    "gap_fill",
 ]
 
 _SIDE = "__asof_side"
@@ -66,10 +67,16 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | int | float | None = None,
     how: str = "left",
+    allow_exact_matches: bool = True,
     suffix: str = "_r",
 ) -> DataFrame:
     """Join each left row to the nearest right row at-or-before (backward)
     or at-or-after (forward) its timestamp, per key.
+
+    ``allow_exact_matches=False`` makes the comparison strict
+    (``r.t < l.t`` / ``r.t > l.t``), as in pandas ``merge_asof`` —
+    planned by flipping the union tiebreak so left rows sort BEFORE
+    right rows at equal timestamps.
 
     Matches DuckDB ``ASOF [LEFT] JOIN ... ON l.k = r.k AND l.t >= r.t``
     (backward) / ``l.t <= r.t`` (forward), which is the oracle used by
@@ -147,9 +154,14 @@ def asof_join(
         if direction == "backward"
         else F.col(_T).desc_nulls_first()
     )
+    # inclusive: right (side 0) sorts before left at equal t, so equal
+    # timestamps match; strict: left first, so they don't
+    side_order = (
+        F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(t_order, F.col(_SIDE).asc())
+        .orderBy(t_order, side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(
@@ -193,6 +205,7 @@ def asof_join_broadcast(
     direction: str = "backward",
     tolerance: Column | int | float | None = None,
     how: str = "left",
+    allow_exact_matches: bool = True,
     suffix: str = "_r",
 ) -> DataFrame:
     """asof_join for a dim-sized right table, with ZERO shuffle of left.
@@ -251,11 +264,21 @@ def asof_join_broadcast(
 
     lt = F.col(left_time)
     if direction == "backward":
-        cand = F.filter(F.col("__arr"), lambda x: x["__rt"] <= lt)
+        cand = F.filter(
+            F.col("__arr"),
+            (lambda x: x["__rt"] <= lt)
+            if allow_exact_matches
+            else (lambda x: x["__rt"] < lt),
+        )
         # candidates are time-sorted ascending: the match is the LAST
         best = F.element_at(cand, -1)
     else:
-        cand = F.filter(F.col("__arr"), lambda x: x["__rt"] >= lt)
+        cand = F.filter(
+            F.col("__arr"),
+            (lambda x: x["__rt"] >= lt)
+            if allow_exact_matches
+            else (lambda x: x["__rt"] > lt),
+        )
         best = F.element_at(cand, 1)
     joined = joined.withColumn(
         _MATCH, F.when(F.size(cand) > 0, best)
@@ -461,6 +484,65 @@ def sessionize(
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_n", F.sum(is_new).over(wrun))
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str | list[str],
+    bucket_col: str,
+    step: int,
+    *,
+    fill: dict[str, float | int] | None = None,
+    span: str = "per_key",
+) -> DataFrame:
+    """Densify a bucketed series: emit a row for EVERY step-spaced bucket
+    between each key's min and max (``span="per_key"``) or the global
+    min/max (``span="global"``), filling absent buckets with ``fill``
+    values (default NULL) — the hypertable ``time_bucket_gapfill`` shape.
+
+    ``bucket_col`` must be integral and step-aligned (e.g. epoch seconds
+    from ``unix_timestamp(date_trunc(...))``); alignment is validated.
+    Plan: the dense axis comes from ``sequence()`` per key (one row per
+    key -> explode), joined back to the sparse data — the generated side
+    carries (key, bucket) only, so the shuffle is proportional to the
+    DENSE bucket count, never to payload width.  Skew = a key whose span
+    dwarfs the others; AQE's skew-join split applies since this is a
+    plain Exchange+SortMergeJoin.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if span not in ("per_key", "global"):
+        raise ValueError(f"span must be per_key|global, got {span!r}")
+    if step <= 0:
+        raise ValueError("step must be positive")
+
+    misaligned = df.where(
+        (F.col(bucket_col) % step != 0) & F.col(bucket_col).isNotNull()
+    ).limit(1)
+    if misaligned.count() > 0:
+        raise ValueError(
+            f"{bucket_col} values are not aligned to step={step}"
+        )
+
+    if span == "per_key":
+        bounds = df.groupBy(*keys).agg(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        )
+    else:
+        g = df.agg(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        )
+        bounds = df.select(*keys).distinct().crossJoin(F.broadcast(g))
+
+    dense = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    out = dense.join(df, on=[*keys, bucket_col], how="left")
+    for c, v in (fill or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
 
 
 def session_windows(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from parquet_extra_spark.operators.temporal import (
     asof_join,
     asof_join_broadcast,
+    gap_fill,
     interval_join,
     range_join,
     session_windows,
@@ -393,6 +394,73 @@ class TestSessionize:
         ev = spark.createDataFrame(pd.DataFrame({"u": [1], "t": [0]}))
         plan = sessionize(ev, "u", "t", 10)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestStrictAsof:
+    @pytest.mark.parametrize("impl", [asof_join, asof_join_broadcast],
+                             ids=["union", "broadcast"])
+    def test_strict_backward_matches_duckdb(self, spark, impl):
+        L = pd.DataFrame({"k": [1, 1], "lt": [10, 12]})
+        R = pd.DataFrame({"k": [1, 1], "rt": [10, 11], "rv": [5, 6]})
+        got = (
+            impl(spark.createDataFrame(L), spark.createDataFrame(R),
+                 "k", "lt", "rt", allow_exact_matches=False)
+            .orderBy("lt").toPandas()
+        )
+        con = duckdb.connect()
+        con.register("L", L)
+        con.register("R", R)
+        want = con.sql(
+            "select l.k, l.lt, r.rt, r.rv from L l asof left join R r"
+            " on l.k = r.k and l.lt > r.rt order by l.lt"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    @pytest.mark.parametrize("impl", [asof_join, asof_join_broadcast],
+                             ids=["union", "broadcast"])
+    def test_strict_forward(self, spark, impl):
+        l = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10]}))
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1], "rt": [10, 15], "rv": [1, 2]})
+        )
+        row = impl(l, r, "k", "lt", "rt", direction="forward",
+                   allow_exact_matches=False).first()
+        assert row["rt"] == 15 and row["rv"] == 2
+
+
+class TestGapFill:
+    def test_per_key_fill(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "a", "b"], "t": [0, 20, 60, 40],
+                          "v": [1.0, 2.0, 3.0, 4.0]})
+        )
+        out = gap_fill(df, "k", "t", 20, fill={"v": 0.0}).orderBy("k", "t")
+        rows = [(r["k"], r["t"], r["v"]) for r in out.collect()]
+        assert rows == [("a", 0, 1.0), ("a", 20, 2.0), ("a", 40, 0.0),
+                        ("a", 60, 3.0), ("b", 40, 4.0)]
+
+    def test_global_span(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "b"], "t": [0, 40], "v": [1.0, 2.0]})
+        )
+        out = gap_fill(df, "k", "t", 20, span="global")
+        # both keys get the global [0, 40] axis: 3 buckets x 2 keys
+        assert out.count() == 6
+        assert out.where(F.col("v").isNull()).count() == 4
+
+    def test_default_fill_is_null(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a"], "t": [0, 40], "v": [1.0, 2.0]})
+        )
+        out = gap_fill(df, "k", "t", 20)
+        assert out.where(F.col("t") == 20).first()["v"] is None
+
+    def test_misaligned_raises(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"], "t": [7], "v": [1.0]})
+        )
+        with pytest.raises(ValueError, match="not aligned"):
+            gap_fill(df, "k", "t", 20).count()
 
 
 class TestSampling:
