@@ -1199,6 +1199,27 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward: dense hourly axis
+    per event type, the hour's LAST observed value carried across silent
+    hours (decimal-cast so the carried values hash exactly)."""
+    from parquet_extra_spark.operators.temporal import gap_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("hour_epoch"),
+    ).agg(
+        F.max_by(F.col("value").cast("decimal(18,4)"), F.col("event_id"))
+        .alias("last_value")
+    )
+    return gap_fill(
+        hourly, "event_type", "hour_epoch", 3600, locf=["last_value"]
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by hashed doc_id —
     bit-identical in ANSI SQL (same md5 lane as the dedup sketches), so
@@ -1329,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "sessionize_events": q_sessionize_events,
         "gap_fill_hourly": q_gap_fill_hourly,
+        "gap_fill_locf": q_gap_fill_locf,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pipeline_prepare": q_pipeline_prepare,
@@ -1979,6 +2001,22 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.event_type, d.hour_epoch,"
             " CAST(coalesce(h.n, 0) AS BIGINT) AS n_events"
             " FROM d LEFT JOIN h USING (event_type, hour_epoch)"
+        ),
+        "gap_fill_locf": (
+            "WITH h AS (SELECT event_type,"
+            " epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,"
+            " arg_max(CAST(value AS DECIMAL(18,4)), event_id) AS last_value"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT event_type, min(hour_epoch) AS lo,"
+            " max(hour_epoch) AS hi FROM h GROUP BY 1),"
+            " d AS (SELECT event_type,"
+            " unnest(generate_series(lo, hi, 3600)) AS hour_epoch FROM b),"
+            " j AS (SELECT d.event_type, d.hour_epoch, h.last_value"
+            " FROM d LEFT JOIN h USING (event_type, hour_epoch))"
+            " SELECT event_type, hour_epoch,"
+            " last_value(last_value IGNORE NULLS) OVER"
+            " (PARTITION BY event_type ORDER BY hour_epoch"
+            " ROWS UNBOUNDED PRECEDING) AS last_value FROM j"
         ),
         "hash_split": (
             "WITH b AS (SELECT doc_id, n_chars,"

@@ -493,12 +493,18 @@ def gap_fill(
     step: int,
     *,
     fill: dict[str, float | int] | None = None,
+    locf: list[str] | None = None,
     span: str = "per_key",
 ) -> DataFrame:
     """Densify a bucketed series: emit a row for EVERY step-spaced bucket
     between each key's min and max (``span="per_key"``) or the global
     min/max (``span="global"``), filling absent buckets with ``fill``
     values (default NULL) — the hypertable ``time_bucket_gapfill`` shape.
+
+    ``fill`` gives constants per column; ``locf`` columns instead carry
+    the last observed value forward per key (running last-ignorenulls
+    over the dense axis — leading gaps stay NULL), the
+    ``locf()``/``interpolate`` half of the gapfill contract.
 
     ``bucket_col`` must be integral and step-aligned (e.g. epoch seconds
     from ``unix_timestamp(date_trunc(...))``); alignment is validated.
@@ -542,6 +548,14 @@ def gap_fill(
     out = dense.join(df, on=[*keys, bucket_col], how="left")
     for c, v in (fill or {}).items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    if locf:
+        wl = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(bucket_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in locf:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(wl))
     return out
 
 

@@ -455,6 +455,22 @@ class TestGapFill:
         out = gap_fill(df, "k", "t", 20)
         assert out.where(F.col("t") == 20).first()["v"] is None
 
+    def test_locf_carries_forward_leading_gap_null(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "b", "b"], "t": [20, 80, 0, 40],
+                          "v": [1.0, 4.0, None, 9.0]})
+        )
+        out = gap_fill(df, "k", "t", 20, locf=["v"], span="global")
+        got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+        # a: leading bucket 0 has no prior observation -> NULL; 40/60 carry 1.0
+        assert got[("a", 0)] is None
+        assert got[("a", 20)] == 1.0
+        assert got[("a", 40)] == 1.0 and got[("a", 60)] == 1.0
+        assert got[("a", 80)] == 4.0
+        # b: observed NULL at 0 stays NULL (nothing to carry), 20 still NULL
+        assert got[("b", 0)] is None and got[("b", 20)] is None
+        assert got[("b", 40)] == 9.0 and got[("b", 80)] == 9.0
+
     def test_misaligned_raises(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame({"k": ["a"], "t": [7], "v": [1.0]})
