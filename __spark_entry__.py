@@ -1181,6 +1181,18 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: encode embeddings to 8 codes + a norm
+    (~16x lossy compression), then ADC top-20 — approximate cosine from
+    LUT gathers alone, vectors never reconstructed. The oracle replays
+    codebook assignment and the LUT sum with identical literals."""
+    from parquet_extra_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    return pq_topk(pq_encode(emb), query, k=20)
+
+
 def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly event counts per type with zero-filled silent hours —
     the time_bucket_gapfill shape: sequence() per key builds the dense
@@ -1351,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "gap_fill_hourly": q_gap_fill_hourly,
         "gap_fill_locf": q_gap_fill_locf,
+        "pq_adc_topk": q_pq_adc_topk,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pipeline_prepare": q_pipeline_prepare,
@@ -1601,6 +1614,52 @@ a AS (SELECT id, v, list_position(dots, list_max(dots)) AS cell FROM d)
 SELECT id, round(list_cosine_similarity(v, {_ANN_QUERY_SQL}), 6) AS cosine
 FROM a WHERE cell IN ({", ".join(str(x) for x in probes)})
 ORDER BY cosine DESC, id LIMIT 20
+"""
+
+
+def _pq_oracle() -> str:
+    """SQL replica of pq_encode(m=8, n_centroids=16) + pq_topk(k=20):
+    identical codebook literals, argmax code assignment per subspace,
+    identical LUT gather-and-sum in the same order."""
+    import numpy as np
+
+    from parquet_extra_spark.operators.similarity import _pq_codebooks
+
+    dim, m, K = 64, 8, 16
+    d_sub = dim // m
+    cb = _pq_codebooks(dim, m, K, 11)
+    q = np.array([((i * 37) % 17 - 8) / 10.0 for i in range(64)])
+    qn = float(np.linalg.norm(q))
+    lut = [
+        float(np.dot(q[j * d_sub:(j + 1) * d_sub], cb[j][c]))
+        for j in range(m)
+        for c in range(K)
+    ]
+    code_exprs = []
+    for j in range(m):
+        sub = f"v[{j * d_sub + 1}:{(j + 1) * d_sub}]"
+        scores = ", ".join(
+            f"list_dot_product({sub}, ["
+            + ", ".join(repr(float(w)) for w in cb[j][c])
+            + f"]) - {float(np.dot(cb[j][c], cb[j][c]) / 2.0)!r}"
+            for c in range(K)
+        )
+        code_exprs.append(
+            f"list_position([{scores}], list_max([{scores}])) - 1"
+        )
+    lut_sql = "[" + ", ".join(repr(x) for x in lut) + "]"
+    ip_terms = " + ".join(
+        f"lut[{j * K} + codes[{j + 1}] + 1]" for j in range(m)
+    )
+    codes_sql = "[" + ", ".join(code_exprs) + "]"
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id, {codes_sql} AS codes,
+      round(sqrt(list_sum(list_transform(v, x -> x * x))), 9) AS vnorm,
+      {lut_sql} AS lut FROM v)
+SELECT id, round(({ip_terms}) / ({qn!r} * vnorm), 6) AS cosine_adc
+FROM c WHERE vnorm > 0
+ORDER BY cosine_adc DESC, id LIMIT 20
 """
 
 
@@ -1916,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings ORDER BY cosine DESC, id LIMIT 20"
         ),
         "ivf_topk": _ivf_oracle(),
+        "pq_adc_topk": _pq_oracle(),
         "ngram_jaccard_lsh": _ngram_lsh_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),

@@ -255,3 +255,43 @@ def test_ngram_jaccard_exact_quadratic_guard(dup_docs):
     assert ops.ngram_jaccard_exact(
         blocked, group_col="blk", max_rows_unblocked=3, threshold=0.0
     ).count() == out.count()
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = ops.pq_encode(emb)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["vnorm"] > 0
+    again = {r["id"]: r["codes"] for r in ops.pq_encode(emb).collect()}
+    for r in rows:
+        assert again[r["id"]] == r["codes"]
+
+
+def test_pq_adc_ranks_like_exact_cosine(spark, sf_dir):
+    """ADC over PQ codes is approximate: assert the structural contract
+    (descending scores, deterministic, meaningful overlap with the exact
+    top-k) rather than a recall magic number."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    codes = ops.pq_encode(emb)
+    adc = ops.pq_topk(codes, q, k=50).collect()
+    assert len(adc) == 50
+    scores = [r["cosine_adc"] for r in adc]
+    assert scores == sorted(scores, reverse=True)
+    exact_ids = {r["id"] for r in ops.brute_force_topk(emb, q, k=10).collect()}
+    adc_ids = {r["id"] for r in adc}
+    # untrained data-independent codebooks measured ~0.6 recall@10-in-50
+    # on this fixture; 0.2 is the conservative structural floor
+    assert len(exact_ids & adc_ids) >= 2
+
+
+def test_pq_dim_validation(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        ops.pq_encode(emb, m=7)
