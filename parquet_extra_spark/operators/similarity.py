@@ -285,6 +285,43 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 16,
+    cell_seed: int = 7,
+    pq_seed: int = 11,
+) -> DataFrame:
+    """IVF-PQ (the Faiss IVFADC shape): coarse IVF cells prune the
+    candidate set to ~nprobe/n_cells of the rows, then ADC over PQ codes
+    ranks WITHOUT reconstructing a single vector — compounding the two
+    reductions (cell pruning x 16x byte compression ~ 64x less data
+    touched than exact scan at nprobe=4).
+
+    Composition of ivf_assign + pq_encode + pq_topk; with ivf_encode's
+    persisted cells the pruning happens on chunk METADATA and only the
+    probed chunks' code columns are read at all.
+    """
+    dim = len(query)
+    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    q = np.asarray(query, dtype=np.float64)
+    probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()
+    assigned = ivf_assign(df, id_col, vec_col, n_cells, dim, cell_seed)
+    survivors = assigned.filter(F.col("cell").isin(probes))
+    codes = pq_encode(
+        survivors, id_col="id", vec_col="v", dim=dim, m=m,
+        n_centroids=n_centroids, seed=pq_seed,
+    )
+    return pq_topk(codes, query, k=k, m=m, n_centroids=n_centroids,
+                   seed=pq_seed)
+
+
 def _ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
     """Deterministic spherical centroids (seeded unit vectors). Data-
     independent on purpose: assignments are reproducible across engines

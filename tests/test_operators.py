@@ -295,3 +295,20 @@ def test_pq_dim_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not divisible"):
         ops.pq_encode(emb, m=7)
+
+
+def test_ivfpq_topk_is_subset_consistent(spark, sf_dir):
+    """IVF-PQ results come only from probed cells, scores descend, and
+    probing ALL cells equals plain PQ-ADC (the coarse stage is a pure
+    filter, never a re-ranker)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    part = ops.ivfpq_topk(emb, q, k=20, nprobe=4).collect()
+    assert 0 < len(part) <= 20
+    scores = [r["cosine_adc"] for r in part]
+    assert scores == sorted(scores, reverse=True)
+    full = [(r["id"], r["cosine_adc"])
+            for r in ops.ivfpq_topk(emb, q, k=20, nprobe=16).collect()]
+    adc = [(r["id"], r["cosine_adc"])
+           for r in ops.pq_topk(ops.pq_encode(emb), q, k=20).collect()]
+    assert full == adc
