@@ -638,6 +638,22 @@ def main() -> None:
         sess_plan,
     ))
 
+    from parquet_extra_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    pq = pq_topk(pq_encode(emb), qv, k=20)
+    pq_exe = pq._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "PQ ADC top-k (search without reconstruction)",
+        "One scan over the 16x-compressed codes, the approximate cosine "
+        "is m lookup-table gathers per row inside codegen, and the top-k "
+        "is TakeOrderedAndProject — no full sort, no shuffle. "
+        f"TakeOrdered: {'TakeOrderedAndProject' in pq_exe}; hash "
+        f"Exchanges: {pq_exe.count('Exchange hashpartitioning')} (want 0).",
+        formatted(pq),
+    ))
+
     from parquet_extra_spark.operators.sampling import hash_split
 
     hs = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
