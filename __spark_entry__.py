@@ -1204,6 +1204,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, query, k=20, nprobe=4)
 
 
+def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ SCALE path: cells AND PQ codes persisted into the
+    chunk table at ingest (the stored payload is codes + norm, not
+    vectors); the query prunes non-probed cells on chunk metadata and
+    ADC-ranks the decoded codes. Same oracle as ivfpq_topk — the
+    persisted path must equal the in-memory composition exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = ops.ivfpq_encode(emb, chunk_rows=1024, num_partitions=8)
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    return ops.ivfpq_topk_chunks(chunks, q, k=20, nprobe=4, colocated=True)
+
+
 def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly event counts per type with zero-filled silent hours —
     the time_bucket_gapfill shape: sequence() per key builds the dense
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf": q_gap_fill_locf,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_persisted": q_ivfpq_persisted,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pipeline_prepare": q_pipeline_prepare,
@@ -2046,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_oracle(),
         "pq_adc_topk": _pq_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
+        "ivfpq_persisted": _ivfpq_oracle(),
         "ngram_jaccard_lsh": _ngram_lsh_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),

@@ -212,11 +212,24 @@ def pq_encode(
     only); public anchor: Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011.
     """
+    codes, vnorm = _pq_code_cols(
+        F.col(vec_col), dim, m, n_centroids, seed
+    )
+    return df.select(
+        F.col(id_col).alias("id"), codes.alias("codes"), vnorm.alias("vnorm")
+    )
+
+
+def _pq_code_cols(
+    vec: Column, dim: int, m: int, n_centroids: int, seed: int
+) -> tuple[Column, Column]:
+    """(codes, vnorm) columns for a vector column — shared by pq_encode
+    and the persisted ivfpq_encode so both lanes assign identically."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     cb = _pq_codebooks(dim, m, n_centroids, seed)
     d_sub = dim // m
-    v = F.col(vec_col).cast("array<double>")
+    v = vec.cast("array<double>")
     codes = []
     for j in range(m):
         sub = F.slice(v, j * d_sub + 1, d_sub)
@@ -230,11 +243,7 @@ def pq_encode(
         codes.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array(*codes).alias("codes"),
-        F.round(_norm(v), 9).alias("vnorm"),
-    )
+    return F.array(*codes), F.round(_norm(v), 9)
 
 
 def pq_topk(
@@ -319,6 +328,83 @@ def ivfpq_topk(
         n_centroids=n_centroids, seed=pq_seed,
     )
     return pq_topk(codes, query, k=k, m=m, n_centroids=n_centroids,
+                   seed=pq_seed)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 16,
+    cell_seed: int = 7,
+    pq_seed: int = 11,
+    chunk_rows: int = 4096,
+    uid_namespace: str = "ivfpq",
+    **encode_kwargs,
+) -> DataFrame:
+    """Persist the full IVF-PQ index INTO the chunk table: one ingest
+    scan assigns the coarse cell AND the PQ codes, rows cluster by cell
+    (partition_cols=["cell"]), and the stored payload is (id, codes,
+    vnorm) — NOT the vectors.  Queries via ivfpq_topk_chunks then touch
+    ~nprobe/n_cells of the chunks and each chunk holds ~16x fewer vector
+    bytes than an ivf_encode table: both reductions live in storage."""
+    from ..engine.encoder import encode
+
+    codes, vnorm = _pq_code_cols(
+        F.col(vec_col), dim, m, n_centroids, pq_seed
+    )
+    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(
+        *[_dot(v, F.array(*[F.lit(float(w)) for w in c])) for c in cents]
+    )
+    table = df.select(
+        F.col(id_col).alias("id"),
+        F.array_position(dots, F.array_max(dots)).cast("int").alias("cell"),
+        codes.alias("codes"),
+        vnorm.alias("vnorm"),
+    )
+    return encode(
+        table,
+        partition_cols=["cell"],
+        sort_cols=["id"],
+        chunk_rows=chunk_rows,
+        uid_namespace=uid_namespace,
+        **encode_kwargs,
+    )
+
+
+def ivfpq_topk_chunks(
+    chunks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 16,
+    cell_seed: int = 7,
+    pq_seed: int = 11,
+    colocated: bool = False,
+) -> DataFrame:
+    """IVF-PQ top-k over an ivfpq_encode chunk table: non-probed cells
+    prune on chunk stats + membership digest (zero payload decode), and
+    the decoded survivors are CODES, not vectors — ADC ranks them from
+    the query's lookup table. Must equal ivfpq_topk(df, ...) exactly on
+    the same source (same centroids, codebooks, probes, tie-break)."""
+    from ..engine.pushdown import filter_decode_isin
+
+    dim = len(query)
+    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    q = np.asarray(query, dtype=np.float64)
+    probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
+    rows = filter_decode_isin(
+        chunks, "cell", probes, columns=["id", "codes", "vnorm"],
+        colocated=colocated,
+    )
+    return pq_topk(rows, query, k=k, m=m, n_centroids=n_centroids,
                    seed=pq_seed)
 
 

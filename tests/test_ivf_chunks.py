@@ -75,3 +75,51 @@ def test_ivf_exact_when_all_cells_probed(vectors, ivf_chunks):
         ivf_chunks, q, k=5, nprobe=N_CENT, n_centroids=N_CENT
     ).collect()
     assert [(r.id, r.cosine) for r in got] == [(r.id, r.cosine) for r in exact]
+
+
+def test_ivfpq_persisted_equals_inmemory_and_prunes(spark, sf_dir):
+    """ivfpq_encode stores (cell, codes, vnorm) — queries must equal the
+    in-memory ivfpq_topk composition exactly, and non-probed chunks must
+    never decode (poisoned-payload proof)."""
+    from pyspark.sql import functions as F
+
+    from parquet_extra_spark.operators import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_topk_chunks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = ivfpq_encode(emb, chunk_rows=256, num_partitions=8).cache()
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    got = [(r["id"], r["cosine_adc"])
+           for r in ivfpq_topk_chunks(chunks, q, k=10, nprobe=4,
+                                      colocated=True).collect()]
+    want = [(r["id"], r["cosine_adc"])
+            for r in ivfpq_topk(emb, q, k=10, nprobe=4).collect()]
+    assert got == want
+    # poison payloads of every chunk the stats/digest pruning drops:
+    # the query must still succeed and match (pruned chunks never decode)
+    from parquet_extra_spark.engine.pushdown import chunk_isin_filter
+    from parquet_extra_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16, 7)
+    probes = (np.argsort(-(cents @ np.asarray(q)))[:4] + 1).tolist()
+    kept = {
+        r["chunk_id"]
+        for r in chunk_isin_filter(chunks, "cell", probes)
+        .select("chunk_id").distinct().collect()
+    }
+    total = chunks.select("chunk_id").distinct().count()
+    assert 0 < len(kept) < total  # pruning is actually selective
+    poisoned = chunks.withColumn(
+        "payload",
+        F.when(
+            ~F.col("chunk_id").isin(list(kept)), F.lit(b"\x00garbage")
+        ).otherwise(F.col("payload")),
+    )
+    again = [(r["id"], r["cosine_adc"])
+             for r in ivfpq_topk_chunks(poisoned, q, k=10,
+                                        nprobe=4).collect()]
+    assert again == want
+    chunks.unpersist()
