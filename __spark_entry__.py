@@ -777,6 +777,33 @@ def q_encoded_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two families composing: an hourly per-type rollup computed FROM
+    CODECS (group_agg_encoded, derive at partial scale) feeds gap_fill,
+    which densifies each type's hour axis and zero-fills silent hours —
+    a dense continuous aggregate where the raw data was never decoded
+    at row scale and the dense axis is generated, not stored."""
+    from parquet_extra_spark.operators.temporal import gap_fill
+
+    chunks = _event_chunks(spark, sf_dir)
+    r = pes.group_agg_encoded(
+        chunks,
+        ["event_type", "ts"],
+        [("count", "*", "n_events"), ("sum", "value", "sv")],
+        colocated=True,
+        derive={
+            "etype": "`event_type`",
+            "hour_epoch": (
+                "unix_timestamp(date_trunc('hour',"
+                " cast(`ts` as timestamp)))"
+            ),
+        },
+    ).withColumn("sv", F.round("sv", 4))
+    return gap_fill(
+        r, "etype", "hour_epoch", 3600, fill={"n_events": 0, "sv": 0.0}
+    )
+
+
 def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
     the VALUE column also stays at dictionary scale — its dictionary is
@@ -1371,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_multi_agg": q_encoded_multi_agg,
         "encoded_rollup_sets": q_encoded_rollup_sets,
         "encoded_time_rollup": q_encoded_time_rollup,
+        "encoded_rollup_gapfill": q_encoded_rollup_gapfill,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1889,6 +1917,20 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n, round(sum(value), 4) AS sv,"
             " epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us"
             " FROM events GROUP BY 1"
+        ),
+        "encoded_rollup_gapfill": (
+            "WITH h AS (SELECT event_type AS etype,"
+            " epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,"
+            " count(*) AS n_events, round(sum(value), 4) AS sv"
+            " FROM events GROUP BY 1, 2),"
+            " b AS (SELECT etype, min(hour_epoch) AS lo,"
+            " max(hour_epoch) AS hi FROM h GROUP BY 1),"
+            " d AS (SELECT etype,"
+            " unnest(generate_series(lo, hi, 3600)) AS hour_epoch FROM b)"
+            " SELECT d.etype, d.hour_epoch,"
+            " CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,"
+            " coalesce(h.sv, 0.0) AS sv"
+            " FROM d LEFT JOIN h USING (etype, hour_epoch)"
         ),
         "encoded_minmax": (
             "SELECT lang AS key, count(*) AS n_rows, count(source) AS n_vals,"
