@@ -804,6 +804,18 @@ def q_encoded_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab from codecs: doc counts per (source x lang), both keys
+    at dictionary scale, the pivot spreading columns on the FINAL
+    aggregate only (engine/encoded_agg.pivot_encoded). Count cells fill
+    0 exactly as SQL's count FILTER does."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.pivot_encoded(
+        chunks, "source", "lang", ("count", "*"),
+        values=["de", "en", "es", "fr", "zh"], colocated=True,
+    )
+
+
 def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
     the VALUE column also stays at dictionary scale — its dictionary is
@@ -1399,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_rollup_sets": q_encoded_rollup_sets,
         "encoded_time_rollup": q_encoded_time_rollup,
         "encoded_rollup_gapfill": q_encoded_rollup_gapfill,
+        "encoded_pivot": q_encoded_pivot,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1917,6 +1930,15 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n, round(sum(value), 4) AS sv,"
             " epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us"
             " FROM events GROUP BY 1"
+        ),
+        "encoded_pivot": (
+            "SELECT source,"
+            " count(*) FILTER (WHERE lang = 'de') AS de,"
+            " count(*) FILTER (WHERE lang = 'en') AS en,"
+            " count(*) FILTER (WHERE lang = 'es') AS es,"
+            " count(*) FILTER (WHERE lang = 'fr') AS fr,"
+            " count(*) FILTER (WHERE lang = 'zh') AS zh"
+            " FROM documents GROUP BY source"
         ),
         "encoded_rollup_gapfill": (
             "WITH h AS (SELECT event_type AS etype,"

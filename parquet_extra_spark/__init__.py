@@ -26,6 +26,7 @@ from .engine.aggregates import metadata_profile
 from .engine.encoded_agg import (
     distinct_encoded,
     group_agg_encoded,
+    pivot_encoded,
     group_agg_sets_encoded,
     group_count_distinct_encoded,
     group_minmax_encoded,
@@ -109,6 +110,7 @@ __all__ = [
     "group_minmax_encoded",
     "group_topk_encoded",
     "group_agg_encoded",
+    "pivot_encoded",
     "group_agg_sets_encoded",
     "time_rollup_encoded",
     "distinct_encoded",

@@ -1693,3 +1693,48 @@ def time_rollup_encoded(
         derive={bucket_name: f"date_trunc('{u}', `{ts_col}`)"},
         schema_cols=schema_cols,
     )
+
+
+def pivot_encoded(
+    chunks: DataFrame,
+    row_key: str,
+    col_key: str,
+    agg: "tuple[str, str]" = ("count", "*"),
+    values: "list | None" = None,
+    colocated: bool = False,
+    where: Pred | None = None,
+    schema_cols=None,
+) -> DataFrame:
+    """Cross-tab over encoded data: ``SELECT row_key, agg FILTER
+    (col_key = v1) AS v1, ... GROUP BY row_key``.
+
+    The heavy lifting is the single-pass encoded GROUP BY on
+    (row_key, col_key) — both keys stay at dictionary scale, the shuffle
+    carries (row, col, partial) tuples — and the pivot itself runs on
+    the FINAL aggregate (|row domain| x |col domain| rows, kilobytes),
+    so spreading columns never touches row-scale data.
+
+    ``values`` pins the output columns (required for a deterministic
+    schema on a cluster — Spark's pivot otherwise runs an extra distinct
+    job and orders columns by observed values); count cells fill 0 as
+    SQL's ``count(*) FILTER`` does, other aggs keep NULL for absent
+    (row, col) pairs as SQL's filtered sum/min/max do.
+    """
+    fn, col = agg
+    cells = group_agg_encoded(
+        chunks,
+        [row_key, col_key],
+        [(fn, col, "__cell")],
+        colocated=colocated,
+        where=where,
+        schema_cols=schema_cols,
+    )
+    p = cells.groupBy(row_key).pivot(col_key, values)
+    out = p.agg(F.first("__cell"))
+    if fn == "count":
+        for c in out.columns:
+            if c != row_key:
+                out = out.withColumn(
+                    c, F.coalesce(F.col(f"`{c}`"), F.lit(0))
+                )
+    return out

@@ -960,3 +960,39 @@ def test_schema_cols_skips_discovery(docs, doc_chunks, monkeypatch):
     assert n == docs.select("lang").distinct().count()
     with pytest.raises(ValueError, match="unknown columns"):
         group_sum_encoded(doc_chunks, "lang", "nope", schema_cols=sc)
+
+
+class TestPivotEncoded:
+    def test_count_pivot_matches_spark(self, docs, doc_chunks):
+        langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+        got = pes.pivot_encoded(
+            doc_chunks, "source", "lang", ("count", "*"), values=langs,
+            colocated=True,
+        )
+        want = (
+            docs.groupBy("source").pivot("lang", langs).count().na.fill(0)
+        )
+        gm = {r["source"]: tuple(r[c] for c in langs) for r in got.collect()}
+        wm = {r["source"]: tuple(r[c] for c in langs) for r in want.collect()}
+        assert gm == wm
+        # count cells fill 0, never null
+        assert all(all(v is not None for v in t) for t in gm.values())
+
+    def test_sum_pivot_keeps_null_for_absent_cells(self, docs, doc_chunks):
+        langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+        got = pes.pivot_encoded(
+            doc_chunks, "source", "lang", ("sum", "n_chars"), values=langs,
+            colocated=True,
+        )
+        want = docs.groupBy("source").pivot("lang", langs).sum("n_chars")
+        gm = {r["source"]: tuple(r[c] for c in langs) for r in got.collect()}
+        wm = {r["source"]: tuple(r[c] for c in langs) for r in want.collect()}
+        assert gm == wm
+
+    def test_values_pin_schema(self, doc_chunks):
+        out = pes.pivot_encoded(
+            doc_chunks, "source", "lang", ("count", "*"),
+            values=["en", "xx"], colocated=True,
+        )
+        assert out.columns == ["source", "en", "xx"]
+        assert out.where(F.col("xx") != 0).count() == 0
