@@ -816,6 +816,22 @@ def q_encoded_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram from codecs: GROUP BY floor(n_chars/500) runs
+    as group_agg_encoded's derive at PARTIAL scale — bin assignment
+    touches n_chunks x distinct values, never rows; bins with no docs
+    simply don't exist (SQL GROUP BY semantics, not gap-filled)."""
+    chunks, _ = _doc_chunks(spark, sf_dir)
+    return pes.group_agg_encoded(
+        chunks,
+        ["n_chars"],
+        [("count", "*", "n_docs"), ("min", "n_chars", "lo"),
+         ("max", "n_chars", "hi")],
+        colocated=True,
+        derive={"bin": "floor(`n_chars` / 500)"},
+    )
+
+
 def q_encoded_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped MIN/MAX for the dtypes SUM rejects (here a string column):
     the VALUE column also stays at dictionary scale — its dictionary is
@@ -1412,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_time_rollup": q_encoded_time_rollup,
         "encoded_rollup_gapfill": q_encoded_rollup_gapfill,
         "encoded_pivot": q_encoded_pivot,
+        "encoded_histogram": q_encoded_histogram,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1930,6 +1947,11 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n, round(sum(value), 4) AS sv,"
             " epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us"
             " FROM events GROUP BY 1"
+        ),
+        "encoded_histogram": (
+            "SELECT CAST(floor(n_chars / 500) AS BIGINT) AS bin,"
+            " count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi"
+            " FROM documents GROUP BY 1"
         ),
         "encoded_pivot": (
             "SELECT source,"
