@@ -94,6 +94,22 @@ def build_parser() -> argparse.ArgumentParser:
     pro.add_argument("--input", required=True)
     pro.add_argument("--columns", default=None)
     _add_common(pro)
+
+    agg = sub.add_parser(
+        "agg",
+        help="multi-aggregate GROUP BY over an encoded checkpoint "
+        "WITHOUT decoding rows (compute-over-compressed)",
+    )
+    agg.add_argument("--enc", required=True)
+    agg.add_argument("--keys", required=True, help="comma-separated key columns")
+    agg.add_argument(
+        "--aggs",
+        required=True,
+        help="comma-separated fn:col:alias specs, e.g. "
+        "'count:*:n,sum:n_chars:total,min:doc_id:lo'",
+    )
+    agg.add_argument("--as-of", type=float, default=None, dest="as_of")
+    _add_common(agg)
     return ap
 
 
@@ -152,6 +168,18 @@ def main(argv: list[str] | None = None) -> int:
                 dry_run=args.dry_run,
             ),
         }
+    elif args.cmd == "agg":
+        chunks = pes.read_chunks(spark, args.enc, as_of=args.as_of)
+        specs = []
+        for spec in args.aggs.split(","):
+            parts = spec.split(":")
+            if len(parts) != 3:
+                raise SystemExit(f"bad agg spec {spec!r}: want fn:col:alias")
+            specs.append((parts[0], parts[1], parts[2]))
+        rows = pes.group_agg_encoded(
+            chunks, _cols(args.keys), specs, colocated=False
+        ).collect()
+        out = {"cmd": "agg", "rows": [r.asDict() for r in rows]}
     elif args.cmd == "profile":
         df = spark.read.parquet(args.input)
         rows = pes.column_profile(df, _cols(args.columns)).collect()

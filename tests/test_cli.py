@@ -57,3 +57,34 @@ def test_cli_profile(capsys, dirs):
         capsys, ["profile", "--input", dirs["src"], "--columns", "lang,source"]
     )
     assert rc == 0 and {r["column"] for r in pro["rows"]} == {"lang", "source"}
+
+
+def test_cli_agg_over_encoded(capsys, dirs, spark):
+    """`agg` answers a GROUP BY report from the checkpointed chunk table
+    without decoding rows; values must equal plain Spark on the source."""
+    from pyspark.sql import functions as F
+
+    rc, out = _run(
+        capsys,
+        ["agg", "--enc", dirs["enc"], "--keys", "lang",
+         "--aggs", "count:*:n,sum:n_chars:total,min:doc_id:lo"],
+    )
+    assert rc == 0
+    got = {r["lang"]: (r["n"], r["total"], r["lo"]) for r in out["rows"]}
+    src = spark.read.parquet(dirs["src"])
+    want = {
+        r["lang"]: (r["n"], r["total"], r["lo"])
+        for r in src.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total"),
+            F.min("doc_id").alias("lo"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cli_agg_bad_spec(capsys, dirs):
+    with pytest.raises(SystemExit):
+        main(["agg", "--enc", dirs["enc"], "--keys", "lang",
+              "--aggs", "count:n", "--master", "local[4]",
+              "--shuffle-partitions", "8"])
