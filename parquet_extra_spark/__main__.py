@@ -8,6 +8,8 @@
     python -m parquet_extra_spark metrics --enc DIR
     python -m parquet_extra_spark vacuum  --enc DIR [--retain-seconds S] [--dry-run]
     python -m parquet_extra_spark profile --input DIR [--columns a,b]
+    python -m parquet_extra_spark agg     --enc DIR --keys a,b \
+        --aggs count:*:n,sum:x:total [--as-of T]   # no row decode
 
 Each command prints ONE JSON line (machine-consumable, same contract as
 bench.py). This module is also the natural spark-submit target:
