@@ -804,6 +804,24 @@ def q_encoded_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trigram_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring predicate WITH chunk pruning: the opt-in trigram digest
+    (encode(trigram_cols=...), pg_trgm at chunk granularity) lets
+    LIKE '%rc1%' skip chunks whose trigram set provably lacks a needle
+    3-gram — the skip lane [min,max] stats can never give substring
+    predicates; the dictionary/row recheck stays exact."""
+    docs = _docs(spark, sf_dir)
+    chunks = pes.encode(
+        docs, partition_cols=["source"], sort_cols=["doc_id"],
+        chunk_rows=256, n_buckets=8, n_salts=1,
+        trigram_cols=["source"], num_partitions=8,
+    )
+    return pes.filter_decode_pred(
+        chunks, pes.P.contains("source", "rc1"),
+        columns=["doc_id", "source", "lang"],
+    )
+
+
 def q_encoded_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tab from codecs: doc counts per (source x lang), both keys
     at dictionary scale, the pivot spreading columns on the FINAL
@@ -1429,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_rollup_gapfill": q_encoded_rollup_gapfill,
         "encoded_pivot": q_encoded_pivot,
         "encoded_histogram": q_encoded_histogram,
+        "trigram_pushdown": q_trigram_pushdown,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1947,6 +1966,10 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n, round(sum(value), 4) AS sv,"
             " epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us"
             " FROM events GROUP BY 1"
+        ),
+        "trigram_pushdown": (
+            "SELECT doc_id, source, lang FROM documents"
+            " WHERE source LIKE '%rc1%'"
         ),
         "encoded_histogram": (
             "SELECT CAST(floor(n_chars / 500) AS BIGINT) AS bin,"

@@ -51,6 +51,7 @@ CHUNK_SPARK_SCHEMA = T.StructType(
         # list is too big — 63-bit words, stats.bloom_positions is the
         # plan-side contract. NULL = no bloom: never prunes.
         T.StructField("member_bloom", T.ArrayType(T.LongType(), False), True),
+        T.StructField("trigram_bloom", T.ArrayType(T.LongType(), False), True),
     ]
 )
 
@@ -77,6 +78,7 @@ CHUNK_ARROW_SCHEMA = pa.schema(
         ("schema_fp", pa.string()),
         ("member_hashes", pa.list_(pa.int64())),
         ("member_bloom", pa.list_(pa.int64())),
+        ("trigram_bloom", pa.list_(pa.int64())),
     ]
 )
 

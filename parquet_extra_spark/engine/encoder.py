@@ -113,6 +113,7 @@ def _chunk_rows_batch(
     display: list[str] | None = None,
     required: set[str] | None = None,
     bloom_cols: set[str] | None = None,
+    trigram_cols: set[str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one chunk (all columns) -> record batch of chunk-table rows.
 
@@ -133,7 +134,10 @@ def _chunk_rows_batch(
         arr = _as_array(table.column(col))
         dtype = dtypes[col]
         st = stats_mod.compute_stats(
-            arr, dtype, bloom=bool(bloom_cols) and col in bloom_cols
+            arr,
+            dtype,
+            bloom=bool(bloom_cols) and col in bloom_cols,
+            trigram=bool(trigram_cols) and col in trigram_cols,
         )
         if required and col in required and st.null_count:
             # write-time repetition enforcement — the reference rejects a
@@ -174,6 +178,7 @@ def _chunk_rows_batch(
         rows["schema_fp"].append(schema_fp)
         rows["member_hashes"].append(st.members)
         rows["member_bloom"].append(st.bloom)
+        rows["trigram_bloom"].append(st.trigrams)
     return pa.RecordBatch.from_pydict(
         {k: pa.array(v, type=CHUNK_ARROW_SCHEMA.field(k).type) for k, v in rows.items()},
         schema=CHUNK_ARROW_SCHEMA,
@@ -190,6 +195,7 @@ def _make_encode_fn(
     display: list[str] | None = None,
     required: set[str] | None = None,
     bloom_cols: set[str] | None = None,
+    trigram_cols: set[str] | None = None,
 ):
     schema_fp = schema_fingerprint(display or columns, uid_namespace)
 
@@ -227,7 +233,7 @@ def _make_encode_fn(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
                 sort_cols=sort_cols, uid_namespace=uid_namespace,
                 schema_fp=schema_fp, display=display, required=required,
-                bloom_cols=bloom_cols,
+                bloom_cols=bloom_cols, trigram_cols=trigram_cols,
             )
 
         for batch in batches:
@@ -394,6 +400,7 @@ def encode(
     expected_schema=None,
     unit_sort: bool = False,
     bloom_cols: list[str] | None = None,
+    trigram_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
@@ -429,6 +436,14 @@ def encode(
         "find one doc_id in 100 TB" decodes only the chunks whose bloom
         admits the key. Costs one canonical hash per distinct value at
         encode; leave unset (default) on throughput-critical paths.
+    trigram_cols: opt-in per-chunk trigram-Bloom digests on the named
+        STRING columns — the pg_trgm idea at chunk granularity: a chunk
+        whose trigram set provably lacks any 3-gram of a LIKE-'%s%'
+        needle skips without decode (substring position defeats
+        [min,max] pruning, so this is the ONLY skip lane substring
+        predicates have). Saturates (stores nothing) above 4096 distinct
+        trigrams per chunk — meant for path/source/id-like columns, not
+        content-scale text.
     expected_schema: optional declared StructType. Column names/types are
         validated against ``df`` at the driver; fields with
         nullable=False are enforced AT WRITE TIME — a null in a required
@@ -478,6 +493,10 @@ def encode(
     bad_bloom = [c for c in sorted(bloom_set) if c not in s_of]
     if bad_bloom:
         raise ValueError(f"unknown bloom columns: {bad_bloom}")
+    trigram_set = set(trigram_cols or [])
+    bad_tg = [c for c in sorted(trigram_set) if c not in s_of]
+    if bad_tg:
+        raise ValueError(f"unknown trigram columns: {bad_tg}")
     bucket_expr, salt_expr = unit_exprs(
         safe,
         [s_of[c] for c in partition_cols],
@@ -511,5 +530,6 @@ def encode(
                          sort_cols=chunk_sort or None, uid_namespace=uid_namespace,
                          display=columns,
                          required={s_of[c] for c in required_names} or None,
-                         bloom_cols={s_of[c] for c in bloom_set} or None)
+                         bloom_cols={s_of[c] for c in bloom_set} or None,
+                         trigram_cols={s_of[c] for c in trigram_set} or None)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)

@@ -639,10 +639,23 @@ def _eval_stats(
         return possible, certain
     if isinstance(pred, Substr):
         # substring position is order-independent: [min,max] can neither
-        # refute nor prove a match — keep every chunk with a non-null row
-        # (sound), never certain; the dictionary-domain recheck is exact
+        # refute nor prove a match — never certain; the dictionary-domain
+        # recheck is exact. But the TRIGRAM digest (opt-in
+        # encode(trigram_cols=...)) gives substring predicates the skip
+        # lane stats can't: a match contains every 3-gram of the needle,
+        # so a chunk whose trigram bloom provably lacks any of them skips
+        # (pg_trgm at chunk granularity; bloom FPs only keep extra chunks)
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
-        return nc < nv, F.lit(False)
+        possible = nc < nv
+        if dtypes[pred.column] == "string":
+            hs = stats_lib.trigram_hashes(pred.value)
+            if hs:
+                from .pushdown import bloom_hit_expr
+
+                tg = F.col(f"`{pred.column}_tg`")
+                for h in hs:
+                    possible = possible & (tg.isNull() | bloom_hit_expr(tg, h))
+        return possible, F.lit(False)
     if isinstance(pred, Rlike):
         # a regex can never be PROVEN by [min,max]; but an anchored
         # literal head (rlike_prefix) is a necessary condition, so its
@@ -681,7 +694,7 @@ def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
     """One row per chunk_id with (mn, mx, nc, nv, mh) per referenced column
     — a groupBy+pivot over metadata columns only (payloads pruned from the
     scan), one small shuffle regardless of table size."""
-    for digest_col in ("member_hashes", "member_bloom"):
+    for digest_col in ("member_hashes", "member_bloom", "trigram_bloom"):
         if digest_col not in chunks.columns:
             # chunk tables persisted before a digest column existed read
             # back without it — treat as "no digest" (sound, never prunes)
@@ -699,6 +712,7 @@ def chunk_stats_frame(chunks: DataFrame, columns: list[str]) -> DataFrame:
             F.first("n_values").alias("nv"),
             F.first("member_hashes").alias("mh"),
             F.first("member_bloom").alias("bl"),
+            F.first("trigram_bloom").alias("tg"),
         )
     )
 

@@ -47,6 +47,11 @@ class ColumnStats:
     # Bloom digest over the EXACT distinct-value set (opt-in, any
     # cardinality): _BLOOM_WORDS 63-bit words, or None
     bloom: list[int] | None = None
+    # Bloom digest over the set of character 3-grams of the EXACT
+    # distinct-value set (opt-in via encode(trigram_cols=...)): makes
+    # substring predicates (LIKE '%x%') chunk-prunable — see
+    # _trigram_digest. None = no digest / saturated / sampled dict
+    trigrams: list[int] | None = None
 
 
 # membership digest: only dtypes whose plan-time literals canonicalize to
@@ -121,6 +126,52 @@ def _bloom_digest(dict_arr: pa.Array, dtype: str) -> list[int] | None:
     words = [0] * _BLOOM_WORDS
     for v in vals:
         for p in bloom_positions(_member_hash(v)):
+            words[p // _BLOOM_BITS_PER_WORD] |= 1 << (p % _BLOOM_BITS_PER_WORD)
+    return words
+
+
+# Trigram digest (opt-in per column via encode(trigram_cols=...)): the
+# pg_trgm idea applied to chunk pruning. A value CONTAINING needle s
+# contains every 3-gram of s, so a chunk whose trigram set provably
+# lacks ANY 3-gram of s cannot match LIKE '%s%' / '%s' — substring
+# predicates, which [min,max] can never refute (position is order-
+# independent), get a sound skip lane. Bloom false positives only
+# widen `possible`; no false negatives by construction. Saturation
+# guard: above _TRIGRAM_MAX_DISTINCT distinct trigrams the filter is
+# mostly-set and prunes nothing — store None instead (content-scale
+# text columns land here; the digest is for path/source/id-like
+# columns, same audience as the membership digest).
+_TRIGRAM_MAX_DISTINCT = 4096
+
+
+def trigram_hashes(needle: str) -> list[int] | None:
+    """Plan-side: canonical hashes of the needle's distinct 3-grams, or
+    None when the needle is too short to constrain (len < 3)."""
+    if not isinstance(needle, str) or len(needle) < 3:
+        return None
+    grams = {needle[i:i + 3] for i in range(len(needle) - 2)}
+    return sorted(_member_hash(g) for g in grams)
+
+
+def _trigram_digest(dict_arr: pa.Array, dtype: str) -> list[int] | None:
+    """Encode-side Bloom words over all 3-grams of an EXACT dictionary
+    (never the sampled wide-string path — false negatives would skip
+    matching chunks)."""
+    if dtype != "string" or dict_arr is None or len(dict_arr) == 0:
+        return None
+    grams: set[str] = set()
+    for v in dict_arr.to_pylist():
+        if v is None or len(v) < 3:
+            continue
+        for i in range(len(v) - 2):
+            grams.add(v[i:i + 3])
+        if len(grams) > _TRIGRAM_MAX_DISTINCT:
+            return None
+    if not grams:
+        return None
+    words = [0] * _BLOOM_WORDS
+    for g in grams:
+        for p in bloom_positions(_member_hash(g)):
             words[p // _BLOOM_BITS_PER_WORD] |= 1 << (p % _BLOOM_BITS_PER_WORD)
     return words
 
@@ -249,11 +300,14 @@ _DICT_SAMPLE_ROWS = 2048
 _WIDE_STR_BYTES = 128
 
 
-def compute_stats(arr: pa.Array, dtype: str, bloom: bool = False) -> ColumnStats:
+def compute_stats(
+    arr: pa.Array, dtype: str, bloom: bool = False, trigram: bool = False
+) -> ColumnStats:
     n = len(arr)
     raw = raw_size(arr, dtype)
     members: list[int] | None = None
     bloom_words: list[int] | None = None
+    trigram_words: list[int] | None = None
     if dtype.startswith("array<"):
         dict_n, n_runs, dict_bytes = 0, n, 0
         mn, mx = None, None
@@ -290,6 +344,8 @@ def compute_stats(arr: pa.Array, dtype: str, bloom: bool = False) -> ColumnStats
             # exact digest already covers small dictionaries (stronger
             # and smaller); the bloom earns its ~1 KB only above the cap
             bloom_words = _bloom_digest(dict_arr, dtype)
+        if trigram:
+            trigram_words = _trigram_digest(dict_arr, dtype)
         mn, mx = _minmax_strings(arr, dtype)
     return ColumnStats(
         n=n,
@@ -302,6 +358,7 @@ def compute_stats(arr: pa.Array, dtype: str, bloom: bool = False) -> ColumnStats
         dict_bytes=dict_bytes,
         members=members,
         bloom=bloom_words,
+        trigrams=trigram_words,
     )
 
 

@@ -94,6 +94,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -105,6 +107,7 @@ from ..engine import stats as stats_mod
 _META_COLS = [
     "chunk_id", "column", "col_idx", "dtype", "codec", "n_values",
     "null_count", "min_val", "max_val", "member_hashes", "member_bloom",
+    "trigram_bloom",
 ]
 
 SCHEMA_SIDECAR_PREFIX = "_schema-"
@@ -396,6 +399,26 @@ def _leaf_possible(leaf: _Leaf, st: dict, dtype: str) -> bool:
         if succ is not None and mn is not None and mn >= succ:
             return False
         return True
+    if leaf.op in ("contains", "endswith"):
+        # substring position defeats [min,max]; the opt-in TRIGRAM digest
+        # (encode(trigram_cols=...)) is the skip lane: a match contains
+        # every 3-gram of the needle, so one provably-absent 3-gram skips
+        # the chunk (pg_trgm at chunk granularity; bloom FPs only keep)
+        if dtype != "string" or not isinstance(leaf.value, str):
+            return True
+        tg = st.get("trigram_bloom")
+        hs = stats_mod.trigram_hashes(leaf.value)
+        if tg is None or hs is None:
+            return True
+        for h in hs:
+            if not all(
+                tg[p // stats_mod._BLOOM_BITS_PER_WORD]
+                >> (p % stats_mod._BLOOM_BITS_PER_WORD)
+                & 1
+                for p in stats_mod.bloom_positions(h)
+            ):
+                return False
+        return True
     v = _canon(leaf.value, dtype)
     if v is None:
         return True
@@ -483,6 +506,10 @@ def _translate(filters: list[Filter]) -> "_Node | None":
             leaves.append(_Node("leaf", leaf=_Leaf("notnull", _attr(f))))
         elif isinstance(f, StringStartsWith) and _attr(f):
             leaves.append(_Node("leaf", leaf=_Leaf("prefix", _attr(f), f.value)))
+        elif isinstance(f, StringContains) and _attr(f):
+            leaves.append(_Node("leaf", leaf=_Leaf("contains", _attr(f), f.value)))
+        elif isinstance(f, StringEndsWith) and _attr(f):
+            leaves.append(_Node("leaf", leaf=_Leaf("endswith", _attr(f), f.value)))
         elif isinstance(f, EqualNullSafe) and _attr(f):
             # col <=> NULL is IS NULL; with a non-null literal it matches
             # exactly the rows plain equality matches (nulls fail both)
@@ -594,7 +621,7 @@ def _read_file(
                     k: meta[k][i]
                     for k in (
                         "null_count", "n_values", "min_val", "max_val",
-                        "member_hashes", "member_bloom",
+                        "member_hashes", "member_bloom", "trigram_bloom",
                     )
                 }
                 for i in idxs
