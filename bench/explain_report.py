@@ -278,6 +278,26 @@ def main() -> None:
     ))
     blc.unpersist()
 
+    # trigram pruning: substring predicate chunk skip
+    tgc = pes.encode(docs, partition_cols=["source"], sort_cols=["doc_id"],
+                     chunk_rows=64, n_buckets=8, n_salts=1,
+                     trigram_cols=["source"], num_partitions=8).cache()
+    tg_total = tgc.select("chunk_id").distinct().count()
+    tg_stats = pes.pushdown_stats_pred(tgc, pes.P.contains("source", "rc17"))
+    sections.append((
+        "trigram substring pruning (trigram_cols)",
+        "Substring position is order-independent, so [min,max] stats can "
+        "NEVER refute LIKE '%s%' — without a digest every chunk decodes "
+        "its dictionary for the exact recheck. The opt-in trigram bloom "
+        "(all 3-grams of the chunk's exact distinct set) skips a chunk "
+        "the moment one needle 3-gram is provably absent. "
+        f"contains(source, 'rc17') keeps {tg_stats['chunks_kept']}/"
+        f"{tg_total} chunks; the same lane serves plain SQL LIKE through "
+        "the chunktable data source (StringContains/StringEndsWith).",
+        "(metadata-only decision; no payload plan)",
+    ))
+    tgc.unpersist()
+
     # compaction: metadata-decided partial rewrite of undersized chunks
     frag = pes.encode(
         docs, chunk_rows=64, n_buckets=4, n_salts=2, num_partitions=8
