@@ -274,6 +274,91 @@ def rlike_prefix(pattern: str) -> str | None:
     return "".join(out) or None
 
 
+def rlike_literals(pattern: str) -> list[str]:
+    """Mandatory literal substrings implied by a pattern — every match
+    must CONTAIN each returned string — for trigram pruning. Sound by
+    conservatism:
+
+    * any ``|`` disables extraction entirely (either branch may omit a
+      literal);
+    * any group ``(`` disables extraction (a group may be quantified
+      ``(abc)?`` — tracking group spans is not worth the risk);
+    * a literal run broken by any metacharacter splits there; the char
+      BEFORE a ``* ? {`` quantifier is dropped from its run (optional /
+      repeatable-zero); ``+`` keeps it (at least one occurrence);
+    * escaped metacharacters ``\\.`` contribute their literal char;
+      other escapes (``\\d`` …) break the run;
+    * on any parse doubt, return [] (no pruning — never unsound).
+    """
+    if "|" in pattern or "(" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 < n and pattern[i + 1] in _RE_META:
+                nxt = pattern[i + 2] if i + 2 < n else ""
+                if nxt in "*?{":
+                    # quantified escaped literal: optional — break run
+                    if cur:
+                        runs.append("".join(cur))
+                        cur = []
+                else:
+                    cur.append(pattern[i + 1])
+                i += 2
+                continue
+            # \d \w \s ...: not a literal — break the run
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 2
+            continue
+        if ch in _RE_META:
+            if ch in "*?{" and cur:
+                cur.pop()  # preceding char was optional
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            if ch == "[":
+                # skip the whole character class (its chars are NOT
+                # mandatory literals); unterminated class -> give up
+                j = i + 1
+                if j < n and pattern[j] == "^":
+                    j += 1
+                if j < n and pattern[j] == "]":
+                    j += 1
+                while j < n and pattern[j] != "]":
+                    j += 2 if pattern[j] == "\\" else 1
+                if j >= n:
+                    return []
+                i = j + 1
+                continue
+            if ch == "{":
+                # skip the quantifier body {m,n}
+                j = pattern.find("}", i + 1)
+                if j < 0:
+                    return []
+                i = j + 1
+                continue
+            i += 1
+            continue
+        nxt = pattern[i + 1] if i + 1 < n else ""
+        if nxt in "*?{":
+            # this char is quantified-optional: it breaks the run and
+            # contributes nothing (handled when the quantifier is seen)
+            cur.append(ch)
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return [r for r in runs if len(r) >= 3]
+
+
 def referenced_columns(pred: Pred) -> set[str]:
     if isinstance(pred, (Cmp, IsIn, IsNull, NotNull, Prefix, Substr, Rlike)):
         return {pred.column}
@@ -665,11 +750,28 @@ def _eval_stats(
         # non-null chunk (the recheck raises there, as Substr does).
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         has_non_null = nc < nv
-        prefix = rlike_prefix(pred.pattern)
-        if prefix is not None and dtypes[pred.column] == "string":
-            possible, _ = _eval_stats(Prefix(pred.column, prefix), dtypes, env)
-            return possible, F.lit(False)
-        return has_non_null, F.lit(False)
+        possible = has_non_null
+        if dtypes[pred.column] == "string":
+            prefix = rlike_prefix(pred.pattern)
+            if prefix is not None:
+                possible, _ = _eval_stats(
+                    Prefix(pred.column, prefix), dtypes, env
+                )
+            # mandatory literal runs prune via the trigram digest, the
+            # same lane Substr uses — e.g. rlike("path", "src/.*util")
+            # skips chunks provably lacking 'util' 3-grams even though
+            # no [min,max] range constrains a mid-string literal
+            for lit in rlike_literals(pred.pattern):
+                hs = stats_lib.trigram_hashes(lit)
+                if hs:
+                    from .pushdown import bloom_hit_expr
+
+                    tg = F.col(f"`{pred.column}_tg`")
+                    for h in hs:
+                        possible = possible & (
+                            tg.isNull() | bloom_hit_expr(tg, h)
+                        )
+        return possible, F.lit(False)
     if isinstance(pred, IsNull):
         _, _, nc, nv, _, _ = _stat_cols(pred.column, dtypes[pred.column])
         return nc > F.lit(0), nc == nv

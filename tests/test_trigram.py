@@ -225,3 +225,69 @@ def test_datasource_contains_prunes_files(spark, docs, tmp_path):
         .select("doc_id").collect()
     )
     assert got == want
+
+
+class TestRlikeLiterals:
+    def test_spot_cases(self):
+        from parquet_extra_spark.engine.predicate import rlike_literals
+
+        assert rlike_literals("^src1.*util") == ["src1", "util"]
+        assert rlike_literals("ab|cd") == []
+        assert rlike_literals("(abc)def") == []
+        assert rlike_literals("[abc]xyz") == ["xyz"]
+        assert rlike_literals("a{2,3}bcd") == ["bcd"]
+        assert rlike_literals("ab?cde") == ["cde"]
+        assert rlike_literals("abc+def") == ["abc", "def"]  # c+ >= one c
+        assert rlike_literals(r"foo\.bar") == ["foo.bar"]
+        assert rlike_literals(r"foo\dbar") == ["foo", "bar"]
+
+    def test_property_every_match_contains_literals(self):
+        """Soundness law: s matches pattern => every extracted literal is
+        a substring of s. Random patterns from a regex grammar, random
+        subjects biased to match."""
+        import re
+
+        from hypothesis import given, settings, strategies as st
+
+        atom = st.one_of(
+            st.text(alphabet="abcxyz019", min_size=1, max_size=4),
+            st.sampled_from([".", ".*", "a?", "b*", "c+", "[xyz]",
+                             r"\d", "x{1,2}", "(qq)", "q|r", "^", "$",
+                             r"\.", "[^a]"]),
+        )
+        patterns = st.lists(atom, min_size=1, max_size=6).map("".join)
+        subjects = st.text(alphabet="abcxyz019.qr", max_size=30)
+
+        from parquet_extra_spark.engine.predicate import rlike_literals
+
+        @settings(max_examples=400, deadline=None)
+        @given(patterns, subjects)
+        def law(pattern, s):
+            lits = rlike_literals(pattern)
+            if not lits:
+                return
+            try:
+                m = re.search(pattern, s)
+            except re.error:
+                return
+            if m is not None:
+                for lit in lits:
+                    assert lit in s, (pattern, s, lits)
+
+        law()
+
+    def test_rlike_prunes_via_trigram(self, docs, tg_chunks):
+        rep = pushdown_stats_pred(tg_chunks, P.rlike("source", "rc17.$"))
+        assert rep["chunks_kept"] < rep["chunks_total"]
+        got = sorted(
+            r["doc_id"]
+            for r in filter_decode_pred(
+                tg_chunks, P.rlike("source", "rc17.$"), columns=["doc_id"]
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.where(F.col("source").rlike("rc17.$"))
+            .select("doc_id").collect()
+        )
+        assert got == want
