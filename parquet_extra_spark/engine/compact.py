@@ -45,7 +45,10 @@ def compact_chunks(
     identity check fails fast if they do.
 
     ``encode_kwargs`` (partition_cols / sort_cols / n_buckets / ...)
-    shape the re-encoded layout. Note the output unions two encodes, so
+    shape the re-encoded layout — including the opt-in digests: pass the
+    SAME ``bloom_cols``/``trigram_cols`` the table was encoded with, or
+    the re-encoded chunks silently lose their point-lookup/substring
+    pruning lanes (untouched chunks keep theirs). Note the output unions two encodes, so
     ``decode(..., colocated=True)`` no longer holds for the union as a
     whole — use the default shuffled decode, or compact per-partition
     upstream when co-location must be preserved.
