@@ -822,6 +822,37 @@ def q_trigram_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view maintained incrementally: two ingest batches,
+    two refreshes — each refresh aggregates only the NEW manifest runs
+    from their dictionary codes (group_agg_encoded) and merges
+    decomposable partials into versioned state with an atomic pointer.
+    The final result must equal the one-shot GROUP BY over everything."""
+    import os as _os
+    import shutil as _shutil
+
+    base = f"/tmp/pes_ca_{_os.path.basename(sf_dir.rstrip('/'))}"
+    _shutil.rmtree(base, ignore_errors=True)
+    src, state = f"{base}/src", f"{base}/state"
+    docs = _docs(spark, sf_dir)
+    kw = dict(chunk_rows=512, n_buckets=2, n_salts=1)
+    ca = pes.ContinuousAggregate(
+        src, state, ["lang"],
+        [("count", "*", "n_docs"), ("sum", "n_chars", "char_sum"),
+         ("min", "doc_id", "id_lo"), ("max", "doc_id", "id_hi"),
+         ("avg", "n_chars", "mean_chars")],
+    )
+    for tag, part in (("b0", 0), ("b1", 1)):
+        pes.encode_to(
+            docs.where(F.col("doc_id") % 2 == part), src,
+            dataset_id=tag, **kw,
+        )
+        ca.refresh(spark)
+    return ca.result(spark).withColumn(
+        "mean_chars", F.round("mean_chars", 6)
+    )
+
+
 def q_encoded_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tab from codecs: doc counts per (source x lang), both keys
     at dictionary scale, the pivot spreading columns on the FINAL
@@ -1448,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_pivot": q_encoded_pivot,
         "encoded_histogram": q_encoded_histogram,
         "trigram_pushdown": q_trigram_pushdown,
+        "continuous_aggregate": q_continuous_aggregate,
         "encoded_minmax": q_encoded_minmax,
         "encoded_substr_filter": q_encoded_substr_filter,
         "encoded_regex_filter": q_encoded_regex_filter,
@@ -1970,6 +2002,14 @@ def oracle_sql() -> dict[str, str]:
         "trigram_pushdown": (
             "SELECT doc_id, source, lang FROM documents"
             " WHERE source LIKE '%rc1%'"
+        ),
+        "continuous_aggregate": (
+            "SELECT lang, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS char_sum,"
+            " min(doc_id) AS id_lo, max(doc_id) AS id_hi,"
+            " round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)"
+            " AS mean_chars"
+            " FROM documents GROUP BY lang"
         ),
         "encoded_histogram": (
             "SELECT CAST(floor(n_chars / 500) AS BIGINT) AS bin,"

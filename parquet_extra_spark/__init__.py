@@ -39,6 +39,7 @@ from .engine.encoded_agg import (
     value_counts_encoded,
 )
 from .engine.topk import topk_encoded
+from .engine.continuous import ContinuousAggregate
 from .engine.encoded_join import join_encoded
 from .engine.compact import compact_chunks, compaction_stats
 from .engine.maintain import delete_stats, delete_where, merge_rows
@@ -118,6 +119,7 @@ __all__ = [
     "group_quantiles_encoded",
     "quantiles_encoded",
     "topk_encoded",
+    "ContinuousAggregate",
     "join_encoded",
     "P",
     "Pred",
