@@ -112,6 +112,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     agg.add_argument("--as-of", type=float, default=None, dest="as_of")
     _add_common(agg)
+
+    ref = sub.add_parser(
+        "refresh",
+        help="incrementally refresh a continuous aggregate (materialized "
+        "GROUP BY) over a checkpoint — consumes only new manifest runs",
+    )
+    ref.add_argument("--enc", required=True)
+    ref.add_argument("--state", required=True)
+    ref.add_argument("--keys", required=True)
+    ref.add_argument("--aggs", required=True,
+                     help="fn:col:alias list; fn in count/sum/min/max/avg")
+    ref.add_argument("--show", action="store_true",
+                     help="also print the current aggregate rows")
+    _add_common(ref)
     return ap
 
 
@@ -182,6 +196,18 @@ def main(argv: list[str] | None = None) -> int:
             chunks, _cols(args.keys), specs, colocated=False
         ).collect()
         out = {"cmd": "agg", "rows": [r.asDict() for r in rows]}
+    elif args.cmd == "refresh":
+        specs = []
+        for spec in args.aggs.split(","):
+            parts = spec.split(":")
+            if len(parts) != 3:
+                raise SystemExit(f"bad agg spec {spec!r}: want fn:col:alias")
+            specs.append((parts[0], parts[1], parts[2]))
+        ca = pes.ContinuousAggregate(args.enc, args.state,
+                                     _cols(args.keys), specs)
+        out = {"cmd": "refresh", **ca.refresh(spark)}
+        if args.show:
+            out["rows"] = [r.asDict() for r in ca.result(spark).collect()]
     elif args.cmd == "profile":
         df = spark.read.parquet(args.input)
         rows = pes.column_profile(df, _cols(args.columns)).collect()

@@ -88,3 +88,34 @@ def test_cli_agg_bad_spec(capsys, dirs):
         main(["agg", "--enc", dirs["enc"], "--keys", "lang",
               "--aggs", "count:n", "--master", "local[4]",
               "--shuffle-partitions", "8"])
+
+
+def test_cli_refresh_continuous_aggregate(capsys, dirs, spark):
+    """Two `refresh` invocations over a growing checkpoint: the second
+    consumes only the new run; --show rows equal plain Spark."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(dirs["src"])
+    enc2 = dirs["enc"] + "_ca"
+    state = dirs["enc"] + "_ca_state"
+    import parquet_extra_spark as pes
+
+    pes.encode_to(src.where(F.col("doc_id") % 2 == 0), enc2,
+                  dataset_id="b0", chunk_rows=512, n_buckets=2, n_salts=1)
+    args = ["refresh", "--enc", enc2, "--state", state, "--keys", "lang",
+            "--aggs", "count:*:n,sum:n_chars:s"]
+    rc, out1 = _run(capsys, args)
+    assert rc == 0 and out1["new_runs"] >= 1 and out1["version"] == 1
+    pes.encode_to(src.where(F.col("doc_id") % 2 == 1), enc2,
+                  dataset_id="b1", chunk_rows=512, n_buckets=2, n_salts=1)
+    rc, out2 = _run(capsys, args + ["--show"])
+    assert rc == 0 and out2["version"] == 2
+    got = {r["lang"]: (r["n"], r["s"]) for r in out2["rows"]}
+    want = {
+        r["lang"]: (r["n"], r["s"])
+        for r in src.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+        ).collect()
+    }
+    assert got == want
