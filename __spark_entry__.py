@@ -1392,6 +1392,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional deterministic sampling (quality-weighted
+    data mixing): each doc keeps with probability = its weight, but the
+    decision is a pure function of (id, salt) — repeatable, partition-
+    independent, monotone in the weight, SQL-auditable."""
+    from parquet_extra_spark.operators.sampling import weighted_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    w = (F.col("n_chars") % 100) / 100.0
+    out = weighted_hash_sample(docs, "doc_id", w, salt="wq")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep as ONE composed plan: exact dedup
     (deterministic fingerprint tie-break) -> quality gate -> deterministic
@@ -1500,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_persisted": q_ivfpq_persisted,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "pipeline_prepare": q_pipeline_prepare,
     }
 
@@ -2330,6 +2347,17 @@ def oracle_sql() -> dict[str, str]:
             " WHERE bk < (CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000"
             " ELSE 10000 END)"
             " GROUP BY lang"
+        ),
+        "weighted_sample": (
+            "WITH b AS (SELECT doc_id, lang,"
+            " ('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31) ||"
+            " 'wq'), 1, 15))::BIGINT % 10000 AS bk FROM documents"
+            " WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31)"
+            " || 'wq'), 1, 15))::BIGINT % 10000"
+            " < round(least(greatest((n_chars % 100) / 100.0, 0.0), 1.0)"
+            " * 10000))"
+            " SELECT lang, count(*) AS n_docs,"
+            " CAST(sum(doc_id) AS BIGINT) AS id_sum FROM b GROUP BY lang"
         ),
         "pipeline_prepare": (
             "WITH f AS (SELECT *, sha256(text) AS fp,"

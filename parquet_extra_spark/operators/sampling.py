@@ -26,6 +26,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "stratified_hash_sample",
+    "weighted_hash_sample",
 ]
 
 _BUCKETS = 10_000
@@ -96,6 +97,31 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     bound = int(round(fraction * _BUCKETS))
+    return df.where(hash_bucket(id_col, salt) < bound)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column | str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability = its weight in [0,1] — e.g. the
+    quality-weighted mixing a pretraining pipeline uses (keep high-
+    quality documents more often), but DETERMINISTIC: the same row keeps
+    or drops identically across runs, partitionings, and engines, and
+    raising a row's weight can only ever ADD it (bucket is fixed, the
+    threshold moves) — monotone ablations come for free.
+
+    ``weight`` is a column/expression producing values clamped into
+    [0, 1]; the row keeps iff bucket(id) < round(weight * 10000).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    bound = F.round(
+        F.greatest(F.lit(0.0), F.least(w.cast("double"), F.lit(1.0)))
+        * _BUCKETS
+    )
     return df.where(hash_bucket(id_col, salt) < bound)
 
 

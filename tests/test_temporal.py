@@ -22,6 +22,7 @@ from parquet_extra_spark.operators.sampling import (
     hash_split,
     oracle_bucket_sql,
     stratified_hash_sample,
+    weighted_hash_sample,
 )
 
 
@@ -563,6 +564,38 @@ class TestSampling:
         en1 = set(r["doc_id"] for r in out.where("lang = 'en'").collect())
         en2 = set(r["doc_id"] for r in out2.where("lang = 'en'").collect())
         assert en1 == en2
+
+    def test_weighted_sample_monotone_and_matches_sql(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w_half = (F.col("n_chars") % 100 / 100.0)
+        kept = set(
+            r["doc_id"]
+            for r in weighted_hash_sample(docs, "doc_id", w_half,
+                                          salt="w").collect()
+        )
+        # SQL replica
+        con = duckdb.connect()
+        b = oracle_bucket_sql("doc_id", "w")
+        want = set(
+            r[0]
+            for r in con.sql(
+                f"""select doc_id from '{sf_dir}/documents.parquet'
+                    where {b} < round(least(greatest(
+                      (n_chars % 100) / 100.0, 0.0), 1.0) * 10000)"""
+            ).fetchall()
+        )
+        assert kept == want
+        # monotone: doubling every weight only ADDS rows
+        kept2 = set(
+            r["doc_id"]
+            for r in weighted_hash_sample(
+                docs, "doc_id", F.least(w_half * 2, F.lit(1.0)), salt="w"
+            ).collect()
+        )
+        assert kept <= kept2
+        # weight 1.0 keeps everything, 0.0 keeps nothing
+        assert weighted_hash_sample(docs, "doc_id", F.lit(1.0)).count() == docs.count()
+        assert weighted_hash_sample(docs, "doc_id", F.lit(0.0)).count() == 0
 
     def test_split_is_map_only(self, spark):
         df = spark.range(10)
