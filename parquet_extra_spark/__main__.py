@@ -10,6 +10,8 @@
     python -m parquet_extra_spark profile --input DIR [--columns a,b]
     python -m parquet_extra_spark agg     --enc DIR --keys a,b \
         --aggs count:*:n,sum:x:total [--as-of T]   # no row decode
+    python -m parquet_extra_spark refresh --enc DIR --state DIR \
+        --keys a --aggs count:*:n,avg:x:m [--show]  # continuous aggregate
 
 Each command prints ONE JSON line (machine-consumable, same contract as
 bench.py). This module is also the natural spark-submit target:
