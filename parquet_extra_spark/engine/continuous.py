@@ -165,7 +165,8 @@ class ContinuousAggregate:
     # -------------------------------------------------------------- result
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """Current aggregate (empty DataFrame before the first refresh)."""
+        """Current aggregate. Raises ``ValueError`` before the first
+        ``refresh()`` — there is no state version to read yet."""
         cur = self._current()
         if cur["version"] == 0:
             raise ValueError(

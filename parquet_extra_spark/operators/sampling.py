@@ -38,9 +38,15 @@ def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
 
     ``conv(substr(md5(s),1,15),16,10)`` is at most 2^60-1, so the mod
     and all arithmetic stay in exact int64 range on both engines.
+
+    A NULL id buckets to NULL (``F.concat`` is NULL-propagating, exactly
+    like the SQL oracle's ``id || chr(31) || salt``), so every
+    ``bucket < bound`` sampling predicate drops NULL-id rows on BOTH
+    engines; in ``hash_split`` a NULL id falls through to the terminal
+    label on both engines.  Ids should be non-null in practice.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    s = F.concat_ws(_SEP, c.cast("string"), F.lit(salt))
+    s = F.concat(c.cast("string"), F.lit(_SEP), F.lit(salt))
     return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % _BUCKETS)
 
 

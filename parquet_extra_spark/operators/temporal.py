@@ -55,6 +55,27 @@ _T = "__asof_t"
 _MATCH = "__asof_match"
 
 
+def _bounded_hi(b_lo: Column, b_hi: Column, cap: int) -> Column:
+    """In-plan replication guard: the high bucket, or ``raise_error`` at
+    EXECUTION time if an interval would explode to more than ``cap``
+    buckets.  Runs on the rows already flowing into the explode — no
+    separate validation scan of the ranges table (the pre-scan cost a
+    full extra action per call at 100 TB)."""
+    nb = b_hi - b_lo + F.lit(1)
+    return F.when(nb <= F.lit(cap), b_hi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("an interval spans "),
+                nb.cast("string"),
+                F.lit(
+                    f" buckets > max_buckets_per_range={cap};"
+                    " raise bucket_width or the cap"
+                ),
+            )
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -128,8 +149,16 @@ def asof_join(
         ).alias(_MATCH),
     )
     # right rows with NULL time can never match (SQL comparison is NULL);
-    # drop them so their non-null match struct can't be inherited
+    # drop them so their non-null match struct can't be inherited.
+    # Likewise NULL join keys: equi-join semantics are null-UNSAFE
+    # (NULL = NULL is NULL), but Window.partitionBy groups NULLs
+    # together — dropping null-key right rows here means a null-key
+    # left row's partition holds only left rows, so it inherits no
+    # match, exactly matching asof_join_broadcast and the DuckDB
+    # ASOF JOIN oracle.
     right = right.where(F.col(right_time).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     rhs = right.select(
         *[
             (
@@ -351,15 +380,12 @@ def range_join(
 
     b_lo = F.floor(F.col(lo_col) / w)
     b_hi = F.floor(F.col(hi_col) / w)
-    n_buckets = (b_hi - b_lo + F.lit(1)).alias("__nb")
-    overflow = ranges.select(F.max(n_buckets).alias("m")).first()["m"]
-    if overflow is not None and overflow > max_buckets_per_range:
-        raise ValueError(
-            f"an interval spans {overflow} buckets > max_buckets_per_range="
-            f"{max_buckets_per_range}; raise bucket_width or the cap"
-        )
-
-    r = ranges.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(b_lo, _bounded_hi(b_lo, b_hi, max_buckets_per_range))
+        ),
+    )
     p = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
 
     lo_ok = (
@@ -380,10 +406,22 @@ def range_join(
         *[p[c] for c in points.columns], *[r[c] for c in range_out]
     )
     if how == "left":
-        matched_keys = out.select(*[F.col(c) for c in points.columns]).distinct()
-        unmatched = points.join(
-            matched_keys, on=list(points.columns), how="left_anti"
+        # the anti-join must be null-SAFE per column: a matched point row
+        # containing a NULL would never anti-join away under `=` (NULL = NULL
+        # is NULL) and would be emitted twice — once matched, once padded.
+        # EqualNullSafe is still an equi-join predicate, so this stays a
+        # plain hash/sort-merge anti-join.
+        matched_keys = (
+            out.select(*[F.col(c) for c in points.columns])
+            .distinct()
+            .alias("__mk")
         )
+        pts = points.alias("__pts")
+        anti = None
+        for c in points.columns:
+            e = F.col(f"__pts.`{c}`").eqNullSafe(F.col(f"__mk.`{c}`"))
+            anti = e if anti is None else (anti & e)
+        unmatched = pts.join(matched_keys, anti, "left_anti")
         for c in range_out:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(ranges.schema[c].dataType)
@@ -427,13 +465,14 @@ def interval_join(
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
         b_lo = F.floor(F.col(lo) / w)
         b_hi = F.floor(F.col(hi) / w)
-        n = df.select(F.max(b_hi - b_lo + F.lit(1)).alias("m")).first()["m"]
-        if n is not None and n > max_buckets_per_range:
-            raise ValueError(
-                f"an interval spans {n} buckets > max_buckets_per_range="
-                f"{max_buckets_per_range}; raise bucket_width or the cap"
-            )
-        return df.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    b_lo, _bounded_hi(b_lo, b_hi, max_buckets_per_range)
+                )
+            ),
+        )
 
     le = _explode(left, l_lo, l_hi)
     re = _explode(right, r_lo, r_hi)
@@ -521,13 +560,26 @@ def gap_fill(
     if step <= 0:
         raise ValueError("step must be positive")
 
-    misaligned = df.where(
-        (F.col(bucket_col) % step != 0) & F.col(bucket_col).isNotNull()
-    ).limit(1)
-    if misaligned.count() > 0:
-        raise ValueError(
-            f"{bucket_col} values are not aligned to step={step}"
-        )
+    # alignment is validated IN-PLAN on the rows already flowing into the
+    # bounds/join (no separate pre-scan action): any misaligned non-null
+    # bucket raises at execution via raise_error.
+    df = df.withColumn(
+        bucket_col,
+        F.when(
+            F.col(bucket_col).isNull() | (F.col(bucket_col) % step == 0),
+            F.col(bucket_col),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{bucket_col} values are not aligned to step="),
+                    F.lit(str(step)),
+                    F.lit(" (offending value: "),
+                    F.col(bucket_col).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
 
     if span == "per_key":
         bounds = df.groupBy(*keys).agg(

@@ -88,7 +88,10 @@ def asof_enrich_stream(
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(rschema[c]).alias(f"__r_{c}") for c in right_cols],
     )
-    r_tag = right.select(
+    # batch asof_join semantics: right rows with NULL time are ignored
+    # (they can never be an as-of match) — drop them before the union so
+    # they can't become a provider via the int64 sort sentinel.
+    r_tag = right.where(F.col(right_time).isNotNull()).select(
         F.col(on),
         F.col(right_time).alias(_T),
         F.lit(0).alias(_SIDE),
@@ -102,7 +105,15 @@ def asof_enrich_stream(
     }
 
     def _us(series: pd.Series) -> pd.Series:
-        return pd.to_datetime(series).astype("int64").floordiv(1000)
+        # EXPLICIT NaT handling (not pandas' silent astype): NaT views as
+        # int64 min — a deterministic sentinel that sorts first, matching
+        # batch asof_join's nulls-first order. Callers consult the
+        # original series' isna() wherever NULL must surface as NULL.
+        dt = pd.to_datetime(series)
+        return pd.Series(
+            dt.to_numpy(dtype="datetime64[ns]").view("int64"),
+            index=series.index,
+        ).floordiv(1000)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -119,6 +130,10 @@ def asof_enrich_stream(
             b = pdf.iloc[order].reset_index(drop=True)
             bt = t_us.iloc[order].reset_index(drop=True)
             side = b[_SIDE].to_numpy()
+            # null left times match NOTHING (batch asof_join semantics);
+            # the sentinel sorts them first so they inherit no in-batch
+            # provider, and this mask blocks the carried-state fallback.
+            t_null = pdf[_T].isna().to_numpy()[order]
             n = len(b)
             # provider index per row: last right row at-or-before it;
             # -1 = the carried state (or nothing)
@@ -128,13 +143,18 @@ def asof_enrich_stream(
             prov_l = provider[is_left]
             lrows = b.loc[is_left]
             lt = bt[is_left].to_numpy()
+            lnull = t_null[is_left]
 
             out = {on: lrows[on].to_numpy()}
             for c in left_cols:
-                out[f"{c}_us" if c in ts_like else c] = (
-                    _us(lrows[c]).to_numpy() if c in ts_like
-                    else lrows[c].to_numpy()
-                )
+                if c in ts_like:
+                    arr = pd.array(
+                        _us(lrows[c]).to_numpy(), dtype="Int64"
+                    )
+                    arr[lrows[c].isna().to_numpy()] = pd.NA
+                    out[f"{c}_us"] = arr
+                else:
+                    out[c] = lrows[c].to_numpy()
             # match rule (right stream in event-time order per key):
             #   in-batch provider exists         -> its row (exact)
             #   else carried state, rt <= event  -> state (exact)
@@ -146,8 +166,11 @@ def asof_enrich_stream(
             has_prov = prov_l >= 0
             bt_np = bt.to_numpy()
             rt_out, late = [], []
-            for hp, p, lt_i in zip(has_prov, prov_l, lt):
-                if hp:
+            for hp, p, lt_i, ln in zip(has_prov, prov_l, lt, lnull):
+                if ln:
+                    rt_out.append(None)
+                    late.append(False)
+                elif hp:
                     rt_out.append(int(bt_np[p]))
                     late.append(False)
                 elif carried_rt is not None:
@@ -160,13 +183,17 @@ def asof_enrich_stream(
             for i, c in enumerate(right_cols):
                 src = b[f"__r_{c}"]
                 if rschema[c].startswith("timestamp"):
-                    src = _us(src.where(side == 0))
+                    # a genuinely NULL right timestamp payload must emit
+                    # NULL, never the int64 NaT sentinel
+                    src = _us(src).astype(object).where(src.notna(), None)
                 src_np = src.to_numpy(dtype=object)
                 out[c] = pd.Series(
                     [
-                        src_np[p] if hp else st[1 + i]
-                        if carried_rt is not None else None
-                        for hp, p in zip(has_prov, prov_l)
+                        None if ln
+                        else src_np[p] if hp
+                        else st[1 + i] if carried_rt is not None
+                        else None
+                        for hp, p, ln in zip(has_prov, prov_l, lnull)
                     ],
                     dtype=object,
                 )
@@ -180,9 +207,14 @@ def asof_enrich_stream(
                     st = [new_rt]
                     for c in right_cols:
                         v = b[f"__r_{c}"].iloc[last]
+                        if pd.isna(v):
+                            # isna BEFORE any conversion: a NaT timestamp
+                            # payload must carry as None, not the sentinel
+                            st.append(None)
+                            continue
                         if rschema[c].startswith("timestamp"):
                             v = int(_us(pd.Series([v])).iloc[0])
-                        st.append(None if pd.isna(v) else v)
+                        st.append(v)
             yield pd.DataFrame(out)
         state.update(tuple(st))
 

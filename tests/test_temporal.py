@@ -265,10 +265,12 @@ class TestRangeJoin:
         assert key(a) == key(b)
 
     def test_explosion_guard(self, pr):
+        # the guard is IN-PLAN (raise_error on the exploding rows, no
+        # pre-scan action), so it surfaces at execution time
         _, _, pts, rng = pr
-        with pytest.raises(ValueError, match="max_buckets_per_range"):
+        with pytest.raises(Exception, match="max_buckets_per_range"):
             range_join(pts, rng, "p", "lo", "hi", bucket_width=0.001,
-                       max_buckets_per_range=100)
+                       max_buckets_per_range=100).count()
 
     def test_keyed(self, spark):
         pts = spark.createDataFrame(
@@ -342,10 +344,11 @@ class TestIntervalJoin:
         assert rows[0]["k"] == 1 and rows[0]["lo_r"] == 5.0
 
     def test_explosion_guard(self, ab):
+        # in-plan guard: raises at execution, not plan time
         _, _, l, r = ab
-        with pytest.raises(ValueError, match="max_buckets_per_range"):
+        with pytest.raises(Exception, match="max_buckets_per_range"):
             interval_join(l, r, ("alo", "ahi"), ("blo", "bhi"),
-                          bucket_width=0.001, max_buckets_per_range=50)
+                          bucket_width=0.001, max_buckets_per_range=50).count()
 
 
 class TestSessionize:
@@ -476,7 +479,7 @@ class TestGapFill:
         df = spark.createDataFrame(
             pd.DataFrame({"k": ["a"], "t": [7], "v": [1.0]})
         )
-        with pytest.raises(ValueError, match="not aligned"):
+        with pytest.raises(Exception, match="not aligned"):
             gap_fill(df, "k", "t", 20).count()
 
 
@@ -601,3 +604,58 @@ class TestSampling:
         df = spark.range(10)
         plan = hash_split(df, "id", {"a": 0.5, "b": 0.5})._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNullSemantics:
+    """ADVICE round-4 regressions: NULL keys / NULL payload rows must
+    behave identically across surfaces and match the SQL oracles."""
+
+    def test_asof_null_key_matches_nothing_both_surfaces(self, spark):
+        # a null-key left row must NOT inherit matches from null-key
+        # right rows (Window.partitionBy groups NULLs; equi-join doesn't)
+        l = spark.createDataFrame(
+            pd.DataFrame({"k": [None, 1.0], "lt": [10, 10]})
+        ).withColumn("k", F.col("k").cast("bigint"))
+        r = spark.createDataFrame(
+            pd.DataFrame({"k": [None, 1.0], "rt": [5, 5], "rv": [111, 222]})
+        ).withColumn("k", F.col("k").cast("bigint"))
+        a = asof_join(l, r, "k", "lt", "rt").orderBy("k").collect()
+        b = asof_join_broadcast(l, r, "k", "lt", "rt").orderBy("k").collect()
+        for rows in (a, b):
+            nk = [x for x in rows if x["k"] is None][0]
+            ok = [x for x in rows if x["k"] == 1][0]
+            assert nk["rv"] is None and nk["rt"] is None
+            assert ok["rv"] == 222
+        assert [tuple(x) for x in a] == [tuple(x) for x in b]
+
+    def test_range_join_left_null_payload_no_duplicate(self, spark):
+        # a matched point row containing a NULL must anti-join away
+        # (eqNullSafe), not be emitted twice
+        pts = spark.createDataFrame(
+            pd.DataFrame({"p": [5.0, 99.0], "tag": [None, "z"]})
+        )
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [0.0], "hi": [10.0], "band": ["low"]})
+        )
+        out = range_join(pts, rng, "p", "lo", "hi",
+                         bucket_width=10.0, how="left").collect()
+        assert len(out) == 2
+        m = [r for r in out if r["p"] == 5.0]
+        assert len(m) == 1 and m[0]["band"] == "low"
+        u = [r for r in out if r["p"] == 99.0]
+        assert len(u) == 1 and u[0]["band"] is None
+
+    def test_null_id_sample_matches_duckdb(self, spark):
+        # NULL ids bucket to NULL (concat is NULL-propagating) and are
+        # dropped by every bucket < bound predicate — on BOTH engines
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": ["a", "b", "c", None]})
+        )
+        kept = hash_sample(df, "id", 1.0, salt="s").collect()
+        assert sorted(r["id"] for r in kept) == ["a", "b", "c"]
+        want = duckdb.sql(
+            "select id from (values ('a'), ('b'), ('c'), (NULL)) t(id) "
+            "where (('0x' || substr(md5(id || chr(31) || 's'), 1, 15))"
+            "::BIGINT % 10000) < 10000"
+        ).df()
+        assert sorted(want["id"]) == ["a", "b", "c"]

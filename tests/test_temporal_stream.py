@@ -122,3 +122,24 @@ def test_old_left_event_tagged_late(spark, tmp_path):
     assert rows[0]["late"] is True
     ten_us = int(pd.Timestamp(_ts(10)).value // 1000)
     assert rows[0]["rt_us"] == ten_us
+
+
+def test_null_times_match_batch_semantics(spark, tmp_path):
+    # ADVICE r4: null left times must match NOTHING (not be served stale
+    # state via the NaT int64 sentinel); null right times are ignored.
+    l = spark.createDataFrame(
+        [(1, _ts(5), 10), (1, None, 11)], "k long, lt_s string, lv long"
+    ).withColumn("lt", F.col("lt_s").cast("timestamp")).drop("lt_s")
+    r = spark.createDataFrame(
+        [(1, _ts(4), 100.0), (1, None, 999.0)],
+        "k long, rt_s string, rv double",
+    ).withColumn("rt", F.col("rt_s").cast("timestamp")).drop("rt_s")
+    got = _run_stream(spark, tmp_path, "asof_nulls", [l], [r])
+    rows = {row["lt_us"]: row for row in got.collect()}
+    # the null-time left event: emitted, NULL match, not late
+    assert None in rows
+    nk = rows[None]
+    assert nk["rt_us"] is None and nk["rv"] is None and not nk["late"]
+    # the real event matches the real right row, never the null-time one
+    real = [v for k, v in rows.items() if k is not None][0]
+    assert real["rv"] == 100.0 and not real["late"]
