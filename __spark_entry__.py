@@ -1430,57 +1430,13 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the correctness driver checks the FIRST 50 entries
+    # only.  Newest / least-verified queries go first (round-4 temporal/
+    # sampling/PQ/trigram/continuous/encoded families), then a curated
+    # core of north-rule surfaces (roundtrips, pushdown, datasource,
+    # maintenance) re-verified every round; long-stable variants past
+    # slot 50 remain covered by pytest + bench/oracle_check.py.
     return {
-        "projection": q_projection,
-        "roundtrip_full": q_roundtrip_full,
-        "roundtrip_sha": q_roundtrip_sha,
-        "filter_pushdown": q_filter_pushdown,
-        "filter_pushdown_compound": q_filter_pushdown_compound,
-        "column_profile": q_column_profile,
-        "infer_repetition": q_infer_repetition,
-        "schema_discovery": q_schema_discovery,
-        "codec_metrics": q_codec_metrics,
-        "pricing_summary": q_pricing_summary,
-        "order_segments": q_order_segments,
-        "dedup_stats": q_dedup_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-        "cosine_lsh": q_cosine_lsh,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "cosine_near_dups": q_cosine_near_dups,
-        "events_hourly": q_events_hourly,
-        "roundtrip_events": q_roundtrip_events,
-        "roundtrip_embeddings": q_roundtrip_embeddings,
-        "roundtrip_decimal": q_roundtrip_decimal,
-        "roundtrip_nested": q_roundtrip_nested,
-        "nested_projection": q_nested_projection,
-        "nested_filter": q_nested_filter,
-        "evolution_projection": q_evolution_projection,
-        "ivf_topk_persisted": q_ivf_topk_persisted,
-        "chunk_accounting": q_chunk_accounting,
-        "metadata_agg": q_metadata_agg,
-        "roundtrip_compacted": q_roundtrip_compacted,
-        "zorder_box": q_zorder_box,
-        "point_lookup_bloom": q_point_lookup_bloom,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "encoded_group_count": q_encoded_group_count,
-        "encoded_group_sum": q_encoded_group_sum,
-        "roundtrip_after_delete": q_roundtrip_after_delete,
-        "merge_upsert": q_merge_upsert,
-        "datasource_filter": q_datasource_filter,
-        "datasource_prefix": q_datasource_prefix,
-        "encoded_group_stats": q_encoded_group_stats,
-        "encoded_group_sum_float": q_encoded_group_sum_float,
-        "encoded_group_sum_multi": q_encoded_group_sum_multi,
-        "datasource_projection": q_datasource_projection,
-        "datasource_write_roundtrip": q_datasource_write_roundtrip,
         "encoded_filtered_sum": q_encoded_filtered_sum,
         "encoded_distinct": q_encoded_distinct,
         "encoded_distinct_multi": q_encoded_distinct_multi,
@@ -1518,6 +1474,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "pipeline_prepare": q_pipeline_prepare,
+        # --- curated always-verified core (slots 38-50) ---
+        "roundtrip_full": q_roundtrip_full,
+        "roundtrip_sha": q_roundtrip_sha,
+        "projection": q_projection,
+        "filter_pushdown": q_filter_pushdown,
+        "datasource_write_roundtrip": q_datasource_write_roundtrip,
+        "datasource_filter": q_datasource_filter,
+        "datasource_projection": q_datasource_projection,
+        "roundtrip_nested": q_roundtrip_nested,
+        "evolution_projection": q_evolution_projection,
+        "merge_upsert": q_merge_upsert,
+        "roundtrip_after_delete": q_roundtrip_after_delete,
+        "encoded_group_sum": q_encoded_group_sum,
+        "pricing_summary": q_pricing_summary,
+        # --- long-stable, pytest/oracle_check-covered (past the window) ---
+        "filter_pushdown_compound": q_filter_pushdown_compound,
+        "column_profile": q_column_profile,
+        "infer_repetition": q_infer_repetition,
+        "schema_discovery": q_schema_discovery,
+        "codec_metrics": q_codec_metrics,
+        "order_segments": q_order_segments,
+        "dedup_stats": q_dedup_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+        "cosine_lsh": q_cosine_lsh,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "events_hourly": q_events_hourly,
+        "roundtrip_events": q_roundtrip_events,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_decimal": q_roundtrip_decimal,
+        "nested_projection": q_nested_projection,
+        "nested_filter": q_nested_filter,
+        "ivf_topk_persisted": q_ivf_topk_persisted,
+        "chunk_accounting": q_chunk_accounting,
+        "metadata_agg": q_metadata_agg,
+        "roundtrip_compacted": q_roundtrip_compacted,
+        "zorder_box": q_zorder_box,
+        "point_lookup_bloom": q_point_lookup_bloom,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "encoded_group_count": q_encoded_group_count,
+        "datasource_prefix": q_datasource_prefix,
+        "encoded_group_stats": q_encoded_group_stats,
+        "encoded_group_sum_float": q_encoded_group_sum_float,
+        "encoded_group_sum_multi": q_encoded_group_sum_multi,
     }
 
 
