@@ -59,13 +59,25 @@ class ContinuousAggregate:
         state_dir: str,
         keys: list[str],
         aggs: list[tuple[str, str, str]],
+        *,
+        offset_compact_slack: float | None = None,
     ) -> None:
         if isinstance(keys, str) or not keys:
             raise ValueError("keys must be a non-empty list of column names")
+        if offset_compact_slack is not None and offset_compact_slack <= 0:
+            raise ValueError("offset_compact_slack must be > 0 seconds")
         self.source_dir = source_dir
         self.state_dir = state_dir
         self.keys = list(keys)
         self.aggs = list(aggs)
+        # same trade as the chunktable stream source's offset compaction
+        # (sources/chunk_datasource.py): with a slack, the consumed set is
+        # stored as {frontier, ids newer than frontier} — state ∝ commit
+        # rate × slack instead of growing one id per refresh forever. The
+        # traded guarantee is identical (a run whose manifest row becomes
+        # visible with committed_at already ≤ the advanced frontier is
+        # treated as consumed); choose slack ≫ the longest commit stall.
+        self.offset_compact_slack = offset_compact_slack
         seen = set()
         for fn, col, alias in self.aggs:
             if fn not in ("count", "sum", "min", "max", "avg"):
@@ -96,18 +108,57 @@ class ContinuousAggregate:
 
     # ------------------------------------------------------------- refresh
 
+    def _run_times(self, manifest: DataFrame) -> dict[str, float]:
+        """Committed run_id -> max committed_at, from the manifest."""
+        return {
+            r["run_id"]: r["t"]
+            for r in manifest.groupBy("run_id")
+            .agg(F.max("committed_at").alias("t"))
+            .collect()
+        }
+
+    def _consumed_of(self, cur: dict, run_times: dict[str, float]) -> set[str]:
+        """State -> the set of runs it marks consumed. Two forms, one
+        rule (mirrors the stream source's offset decoding): a plain id
+        list, or the compacted {frontier, ids newer than frontier} form
+        where every run committed at-or-below the frontier counts as
+        consumed implicitly — so state dirs survive switching the slack
+        option on or off between refreshes."""
+        base = set(cur["consumed_run_ids"])
+        frontier = cur.get("frontier")
+        if frontier is None:
+            return base
+        return base | {r for r, t in run_times.items() if t <= frontier}
+
+    # ------------------------------------------------------------- refresh
+
     def refresh(self, spark: SparkSession) -> dict:
         """Consume every not-yet-consumed manifest run; returns
         {"new_runs": n, "version": v}. No new runs = no-op (state and
-        pointer untouched)."""
+        pointer untouched).
+
+        Raises ``ValueError`` when a LISTED consumed run has vanished from
+        the manifest (an out-of-band rewrite — compaction / DELETE / MERGE
+        materialized back over the checkpoint dir): the folded-in partials
+        no longer describe the table, so refusing beats silently merging
+        stale state — call :meth:`rebaseline` to rebuild. With slack
+        compaction, rewrites of runs older than the stored frontier are
+        undetectable (their ids are no longer listed); pick the slack
+        accordingly or run strict.
+        """
         cur = self._current()
-        consumed = set(cur["consumed_run_ids"])
         manifest = load_manifest(spark, self.source_dir)
-        runs = [
-            r["run_id"]
-            for r in manifest.select("run_id").distinct().collect()
-        ]
-        new_runs = sorted(set(runs) - consumed)
+        run_times = self._run_times(manifest)
+        consumed = self._consumed_of(cur, run_times)
+        vanished = sorted(set(cur["consumed_run_ids"]) - set(run_times))
+        if vanished:
+            raise ValueError(
+                "consumed runs vanished from the manifest (checkpoint was "
+                f"rewritten out-of-band): {vanished[:5]} — the folded-in "
+                "partials are stale; call rebaseline() to rebuild the "
+                "aggregate from the current table"
+            )
+        new_runs = sorted(set(run_times) - consumed)
         if not new_runs:
             return {"new_runs": 0, "version": cur["version"]}
 
@@ -147,20 +198,61 @@ class ContinuousAggregate:
         merged.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, f"v{next_v}")
         )
+        self._write_pointer(consumed | set(new_runs), run_times, next_v)
+        return {"new_runs": len(new_runs), "version": next_v}
+
+    def _write_pointer(
+        self, consumed: set[str], run_times: dict[str, float], next_v: int
+    ) -> None:
+        """Atomically advance ``_CURRENT`` (local-FS ``os.replace``; on an
+        object store use a conditional put). With a slack, the consumed
+        set compacts to {frontier, ids newer than frontier}."""
+        state: dict = {
+            "version": next_v,
+            "updated_at": time.time(),
+            "keys": self.keys,
+            "aggs": self.aggs,
+        }
+        if self.offset_compact_slack is not None and run_times:
+            frontier = max(run_times.values()) - self.offset_compact_slack
+            state["frontier"] = frontier
+            state["consumed_run_ids"] = sorted(
+                r for r in consumed
+                if run_times.get(r, float("inf")) > frontier
+            )
+        else:
+            state["consumed_run_ids"] = sorted(consumed)
         tmp = os.path.join(self.state_dir, _CURRENT + ".tmp")
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": next_v,
-                    "consumed_run_ids": sorted(consumed | set(new_runs)),
-                    "updated_at": time.time(),
-                    "keys": self.keys,
-                    "aggs": self.aggs,
-                },
-                f,
-            )
+            json.dump(state, f)
         os.replace(tmp, os.path.join(self.state_dir, _CURRENT))
-        return {"new_runs": len(new_runs), "version": next_v}
+
+    def rebaseline(self, spark: SparkSession) -> dict:
+        """Rebuild the aggregate from the CURRENT table state, discarding
+        every folded-in partial — the recovery path after an out-of-band
+        checkpoint rewrite (compaction / DELETE / MERGE materialized over
+        the source dir) that :meth:`refresh` refuses to merge across.
+
+        Costs one full ``group_agg_encoded`` pass over the table (still
+        dictionary-scale, never row-scale). The new full aggregate is
+        written as the next version BEFORE the pointer moves, so a crash
+        mid-rebaseline leaves the old state intact; versions stay
+        monotone."""
+        cur = self._current()
+        manifest = load_manifest(spark, self.source_dir)
+        run_times = self._run_times(manifest)
+        units = manifest.select("part_key", "salt", "run_id")
+        chunks = spark.read.parquet(_chunks_path(self.source_dir))
+        full = chunks.join(
+            F.broadcast(units), ["part_key", "salt", "run_id"], "left_semi"
+        ).drop("run_id")
+        merged = group_agg_encoded(full, self.keys, self._partial_specs())
+        next_v = cur["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"v{next_v}")
+        )
+        self._write_pointer(set(run_times), run_times, next_v)
+        return {"new_runs": len(run_times), "version": next_v}
 
     # -------------------------------------------------------------- result
 
