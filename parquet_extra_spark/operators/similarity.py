@@ -191,6 +191,78 @@ def _pq_codebooks(
     return cb * np.sqrt(d_sub / dim)
 
 
+def _check_codebooks(
+    cb: np.ndarray, dim: int, m: int, n_centroids: int
+) -> np.ndarray:
+    cb = np.asarray(cb, dtype=np.float64)
+    want = (m, n_centroids, dim // m)
+    if cb.shape != want:
+        raise ValueError(f"codebooks shape {cb.shape} != expected {want}")
+    return cb
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """DETERMINISTIC sampled-k-means codebooks, shape (m, n_centroids,
+    dim//m) — the drop-in replacement for the data-independent
+    ``_pq_codebooks`` (pass the result as ``codebooks=`` to
+    pq_encode/pq_topk/ivfpq_*; encode and query must share it).
+
+    Deterministic at every step so assignments reproduce across runs and
+    engines: the training sample is the ``sample_rows`` vectors with the
+    smallest ``xxhash64(id)`` (a TakeOrdered, not a scan-order-dependent
+    limit), k-means init is a seeded choice, Lloyd iterations are fixed
+    count, and empty clusters reseed to the farthest point.  Driver-side
+    numpy over a bounded sample — training cost is independent of table
+    size (the standard IVF/PQ practice: Jégou TPAMI'11 trains on a
+    sample, not the corpus)."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"training sample has {len(X)} rows < n_centroids={n_centroids}"
+        )
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        S = np.ascontiguousarray(X[:, j * d_sub:(j + 1) * d_sub])
+        rng = np.random.RandomState(seed + 1000 * j)
+        C = S[rng.choice(len(S), size=n_centroids, replace=False)].copy()
+        for _ in range(iters):
+            # (n, K) squared L2 via the expanded form — no n*K*d temp
+            d2 = (
+                (S * S).sum(1, keepdims=True)
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            far = S[d2.min(1).argmax()]
+            for c in range(n_centroids):
+                pts = S[assign == c]
+                C[c] = pts.mean(0) if len(pts) else far
+        books.append(C)
+    return np.stack(books)
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -199,6 +271,7 @@ def pq_encode(
     m: int = 8,
     n_centroids: int = 16,
     seed: int = 11,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantize vectors: -> (id, codes array<int> of length m,
     vnorm double). ~16x lossy compression (64 float32 -> m small codes +
@@ -213,7 +286,7 @@ def pq_encode(
     Nearest Neighbor Search", TPAMI 2011.
     """
     codes, vnorm = _pq_code_cols(
-        F.col(vec_col), dim, m, n_centroids, seed
+        F.col(vec_col), dim, m, n_centroids, seed, codebooks
     )
     return df.select(
         F.col(id_col).alias("id"), codes.alias("codes"), vnorm.alias("vnorm")
@@ -221,13 +294,17 @@ def pq_encode(
 
 
 def _pq_code_cols(
-    vec: Column, dim: int, m: int, n_centroids: int, seed: int
+    vec: Column, dim: int, m: int, n_centroids: int, seed: int,
+    codebooks: np.ndarray | None = None,
 ) -> tuple[Column, Column]:
     """(codes, vnorm) columns for a vector column — shared by pq_encode
-    and the persisted ivfpq_encode so both lanes assign identically."""
+    and the persisted ivfpq_encode so both lanes assign identically.
+    ``codebooks`` (e.g. from train_pq_codebooks) overrides the seeded
+    data-independent default; encode and query must pass the same one."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    cb = _pq_codebooks(dim, m, n_centroids, seed)
+    cb = _check_codebooks(codebooks, dim, m, n_centroids) \
+        if codebooks is not None else _pq_codebooks(dim, m, n_centroids, seed)
     d_sub = dim // m
     v = vec.cast("array<double>")
     codes = []
@@ -253,6 +330,7 @@ def pq_topk(
     m: int = 8,
     n_centroids: int = 16,
     seed: int = 11,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes: the
     query builds one m x n_centroids lookup table of subspace dots, each
@@ -262,7 +340,8 @@ def pq_topk(
     """
     q = np.asarray(query, dtype=np.float64)
     dim = len(q)
-    cb = _pq_codebooks(dim, m, n_centroids, seed)
+    cb = _check_codebooks(codebooks, dim, m, n_centroids) \
+        if codebooks is not None else _pq_codebooks(dim, m, n_centroids, seed)
     d_sub = dim // m
     qn = float(np.linalg.norm(q))
     lut = [
@@ -294,6 +373,42 @@ def pq_topk(
     )
 
 
+def pq_refine_topk(
+    df: DataFrame,
+    codes_df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 11,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """ADC shortlist + EXACT rerank (the Faiss refine pattern, named as
+    architecture): pq_topk picks ``shortlist`` candidates from codes
+    alone (~1/16th the bytes), then only those ``shortlist`` vectors are
+    fetched and scored exactly.  Output schema matches brute_force_topk
+    (id, cosine).
+
+    This is how a lossy 32–64-bit code gets production recall: the codes
+    bound WHICH vectors are touched (IO ∝ codes + shortlist), the exact
+    pass fixes the ORDER.  At 100 TB the shortlist join is a broadcast
+    semi-join of ``shortlist`` ids against the vector table — the scan
+    side prunes on the id column's chunk stats."""
+    short = pq_topk(
+        codes_df, query, k=shortlist, m=m, n_centroids=n_centroids,
+        seed=seed, codebooks=codebooks,
+    ).select(F.col("id").alias("__short_id"))
+    cand = df.join(
+        F.broadcast(short),
+        F.col(id_col) == F.col("__short_id"),
+        "left_semi",
+    )
+    return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],
@@ -306,6 +421,9 @@ def ivfpq_topk(
     n_centroids: int = 16,
     cell_seed: int = 7,
     pq_seed: int = 11,
+    codebooks: np.ndarray | None = None,
+    refine: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ (the Faiss IVFADC shape): coarse IVF cells prune the
     candidate set to ~nprobe/n_cells of the rows, then ADC over PQ codes
@@ -318,17 +436,26 @@ def ivfpq_topk(
     probed chunks' code columns are read at all.
     """
     dim = len(query)
-    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, cell_seed)
     q = np.asarray(query, dtype=np.float64)
     probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()
-    assigned = ivf_assign(df, id_col, vec_col, n_cells, dim, cell_seed)
+    assigned = ivf_assign(df, id_col, vec_col, n_cells, dim, cell_seed,
+                          centroids=centroids)
     survivors = assigned.filter(F.col("cell").isin(probes))
     codes = pq_encode(
         survivors, id_col="id", vec_col="v", dim=dim, m=m,
-        n_centroids=n_centroids, seed=pq_seed,
+        n_centroids=n_centroids, seed=pq_seed, codebooks=codebooks,
     )
+    if refine is not None:
+        # ADC shortlist inside the probed cells, exact rerank on the
+        # shortlist's vectors only (survivors still carries v)
+        return pq_refine_topk(
+            survivors, codes, query, k=k, shortlist=refine,
+            id_col="id", vec_col="v", m=m, n_centroids=n_centroids,
+            seed=pq_seed, codebooks=codebooks,
+        )
     return pq_topk(codes, query, k=k, m=m, n_centroids=n_centroids,
-                   seed=pq_seed)
+                   seed=pq_seed, codebooks=codebooks)
 
 
 def ivfpq_encode(
@@ -343,6 +470,8 @@ def ivfpq_encode(
     pq_seed: int = 11,
     chunk_rows: int = 4096,
     uid_namespace: str = "ivfpq",
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
     **encode_kwargs,
 ) -> DataFrame:
     """Persist the full IVF-PQ index INTO the chunk table: one ingest
@@ -354,9 +483,9 @@ def ivfpq_encode(
     from ..engine.encoder import encode
 
     codes, vnorm = _pq_code_cols(
-        F.col(vec_col), dim, m, n_centroids, pq_seed
+        F.col(vec_col), dim, m, n_centroids, pq_seed, codebooks
     )
-    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, cell_seed)
     v = F.col(vec_col).cast("array<double>")
     dots = F.array(
         *[_dot(v, F.array(*[F.lit(float(w)) for w in c])) for c in cents]
@@ -388,6 +517,8 @@ def ivfpq_topk_chunks(
     cell_seed: int = 7,
     pq_seed: int = 11,
     colocated: bool = False,
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k over an ivfpq_encode chunk table: non-probed cells
     prune on chunk stats + membership digest (zero payload decode), and
@@ -397,7 +528,7 @@ def ivfpq_topk_chunks(
     from ..engine.pushdown import filter_decode_isin
 
     dim = len(query)
-    cents = _ivf_centroids(dim, n_cells, cell_seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, cell_seed)
     q = np.asarray(query, dtype=np.float64)
     probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
     rows = filter_decode_isin(
@@ -405,7 +536,71 @@ def ivfpq_topk_chunks(
         colocated=colocated,
     )
     return pq_topk(rows, query, k=k, m=m, n_centroids=n_centroids,
-                   seed=pq_seed)
+                   seed=pq_seed, codebooks=codebooks)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """DETERMINISTIC sampled-k-means coarse centroids, shape (n_cells,
+    dim) — the drop-in replacement for the seeded ``_ivf_centroids``
+    (pass as ``centroids=`` to ivf_*/ivfpq_*; index build and query must
+    share it). Same determinism contract as train_pq_codebooks: hash-
+    ordered sample, seeded init, fixed Lloyd iterations, empty cells
+    reseeded to the farthest point. Measured effect (bench/recall_pq.py):
+    the coarse quantizer, not the code book, dominates recall at low
+    nprobe — training it aligns cells with the data's clusters."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    S = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if len(S) < n_cells:
+        raise ValueError(
+            f"training sample has {len(S)} rows < n_cells={n_cells}"
+        )
+    rng = np.random.RandomState(seed)
+    C = S[rng.choice(len(S), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (
+            (S * S).sum(1, keepdims=True)
+            - 2.0 * (S @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        far = S[d2.min(1).argmax()]
+        for c in range(n_cells):
+            pts = S[assign == c]
+            C[c] = pts.mean(0) if len(pts) else far
+    # cell assignment is max-dot (spherical); normalize like the default
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return C / norms
+
+
+def _resolve_centroids(
+    centroids: np.ndarray | None, dim: int, n_centroids: int, seed: int
+) -> np.ndarray:
+    if centroids is None:
+        return _ivf_centroids(dim, n_centroids, seed)
+    c = np.asarray(centroids, dtype=np.float64)
+    if c.shape != (n_centroids, dim):
+        raise ValueError(
+            f"centroids shape {c.shape} != expected {(n_centroids, dim)}"
+        )
+    return c
 
 
 def _ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
@@ -426,11 +621,12 @@ def ivf_assign(
     n_centroids: int = 16,
     dim: int = 64,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """-> (id, cell, v): each vector assigned to its max-dot-product
     centroid (1-based cell index; first occurrence wins ties). One scan,
     centroids inlined as literals — no shuffle, no training job."""
-    cents = _ivf_centroids(dim, n_centroids, seed)
+    cents = _resolve_centroids(centroids, dim, n_centroids, seed)
     v = F.col(vec_col).cast("array<double>")
     dots = F.array(
         *[_dot(v, F.array(*[F.lit(float(w)) for w in c])) for c in cents]
@@ -451,6 +647,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe cells nearest the query,
     exact cosine inside them only.
@@ -461,10 +658,11 @@ def ivf_topk(
     ~nprobe/n_centroids of the data — partition pruning for vectors.
     Recall is tunable via nprobe (nprobe == n_centroids -> exact)."""
     dim = len(query)
-    cents = _ivf_centroids(dim, n_centroids, seed)
+    cents = _resolve_centroids(centroids, dim, n_centroids, seed)
     q = np.asarray(query, dtype=np.float64)
     probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed)
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed,
+                          centroids=centroids)
     qcol = F.array(*[F.lit(float(x)) for x in query])
     return (
         assigned.filter(F.col("cell").isin(probes))
@@ -488,6 +686,7 @@ def ivf_encode(
     n_buckets: int | None = None,
     n_salts: int = 1,
     uid_namespace: str = "ivf",
+    centroids: np.ndarray | None = None,
     **encode_kwargs,
 ) -> DataFrame:
     """Persist the IVF index INTO the chunk table: cells assigned once at
@@ -504,7 +703,8 @@ def ivf_encode(
     computed from chunk metadata only."""
     from ..engine.encoder import encode
 
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed)
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, dim, seed,
+                          centroids=centroids)
     return encode(
         assigned,
         partition_cols=["cell"],
@@ -525,6 +725,7 @@ def ivf_topk_chunks(
     n_centroids: int = 16,
     seed: int = 7,
     colocated: bool = False,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF top-k over an ivf_encode chunk table: probe cells are computed
     driver-side from the (deterministic) centroids, non-probed chunks are
@@ -535,7 +736,7 @@ def ivf_topk_chunks(
     from ..engine.pushdown import filter_decode_isin
 
     dim = len(query)
-    cents = _ivf_centroids(dim, n_centroids, seed)
+    cents = _resolve_centroids(centroids, dim, n_centroids, seed)
     q = np.asarray(query, dtype=np.float64)
     probes = (np.argsort(-(cents @ q))[:nprobe] + 1).tolist()  # 1-based
     rows = filter_decode_isin(
