@@ -993,6 +993,7 @@ def q_datasource_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from parquet_extra_spark.sources import ChunkTableDataSource
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkTableDataSource)
     docs = _docs(spark, sf_dir)
     out = f"/tmp/pes_ckpt_proj_{_os.path.basename(sf_dir.rstrip('/'))}"
@@ -1015,6 +1016,7 @@ def q_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from parquet_extra_spark.sources import ChunkTableDataSource
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChunkTableDataSource)
     docs = _docs(spark, sf_dir)
     out = f"/tmp/pes_ckpt_write_{_os.path.basename(sf_dir.rstrip('/'))}"
