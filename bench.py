@@ -214,13 +214,35 @@ def main() -> None:
             wall = time.time() - t0
         return round(n_proc * traffic / 1e9 / wall, 3)
 
+    # MEMBW GATE (round-4 verdict item): the encode pipeline is DRAM-bound
+    # past ~8 cores, and the host has multi-minute windows where aggregate
+    # DRAM bandwidth collapses (measured 3.4-4.3 GB/s vs 11.6-12.3 GB/s
+    # healthy) while every CPU probe reads clean — a ratio committed from
+    # such a window measures the host, not the engine (BENCH_r04: 4.31x at
+    # membw 4.3). Protocol: (a) wait at run start until the probe reads
+    # healthy (bounded), (b) stamp every timed pair with its own membw
+    # reading, (c) commit the best pair among HEALTHY-stamped pairs,
+    # falling back to the global best only when no healthy pair exists
+    # (the artifact then says so via membw_agg_GBps_best_pair).
+    membw_healthy = float(os.environ.get("SPARK_GRAFT_MEMBW_HEALTHY", "8.0"))
+
+    def membw_gate(threshold: float, max_wait: float = 180.0) -> list[float]:
+        readings = [aggregate_membw_gbps()]
+        t0 = time.time()
+        while readings[-1] < threshold and time.time() - t0 < max_wait:
+            time.sleep(10)
+            readings.append(aggregate_membw_gbps())
+        return readings
+
     t_start = time.time()
     with tempfile.TemporaryDirectory() as d:
         ref_write(f"{d}/warm")  # comparator warm-up (same JIT argument)
         shutil.rmtree(f"{d}/warm", ignore_errors=True)
         probe_best = min(window_probe() for _ in range(3))
-        extra["membw_agg_GBps_start"] = aggregate_membw_gbps()
-        t_enc, t_ref, probes = [], [], []
+        gate = membw_gate(membw_healthy)
+        extra["membw_gate_readings"] = gate
+        extra["membw_agg_GBps_start"] = gate[-1]
+        t_enc, t_ref, probes, pair_membw = [], [], [], []
         for attempt in range(20):
             elapsed = time.time() - t_start
             # soft budget needs >=2 pairs: a single pair can be a throttled
@@ -242,20 +264,30 @@ def main() -> None:
             ref_write(f"{d}/ref")
             t_ref.append(round(time.time() - t0, 3))
             shutil.rmtree(f"{d}/ref", ignore_errors=True)
+            # stamp the pair with the window's OWN membw (cheap variant)
+            pair_membw.append(aggregate_membw_gbps(reps=2))
             if len(t_enc) >= 5:
-                # stop once some attempt was jointly fast: BOTH its sides
-                # within 25% of their own global minima — i.e. a window
-                # where neither side was throttled. Otherwise keep
+                # stop once some attempt was jointly fast IN A HEALTHY
+                # WINDOW: both sides within 25% of their global minima AND
+                # the pair's membw stamp >= threshold. Otherwise keep
                 # sampling up to the time budget and take the best pair.
                 sums = [e + r for e, r in zip(t_enc, t_ref)]
                 i = sums.index(min(sums))
                 if (
                     t_enc[i] <= min(t_enc) * 1.25
                     and t_ref[i] <= min(t_ref) * 1.25
+                    and pair_membw[i] >= membw_healthy
                 ):
                     break
         sums = [e + r for e, r in zip(t_enc, t_ref)]
-        best = sums.index(min(sums))
+        healthy_idx = [
+            i for i in range(len(sums)) if pair_membw[i] >= membw_healthy
+        ]
+        pool = healthy_idx or list(range(len(sums)))
+        best = min(pool, key=lambda i: sums[i])
+        extra["pair_membw_GBps"] = pair_membw
+        extra["membw_agg_GBps_best_pair"] = pair_membw[best]
+        extra["membw_healthy_threshold"] = membw_healthy
         timings["encode_corpus"] = t_enc[best]
         extra["parquet_zstd_write_sec"] = t_ref[best]
         extra["parquet_zstd_write_GBps"] = round(

@@ -2,7 +2,10 @@
 oracle_sql() side-by-side on DuckDB at a given sf and compare row count,
 schema (column names), and an order-insensitive value hash.
 
-Usage: python bench/oracle_check.py [sf_dir] [query ...]
+Usage: python bench/oracle_check.py [sf_dir] [query ...] [--json PATH]
+--json writes a machine-readable artifact (per-query status + the
+registry/oracle counts) that README's correctness line quotes verbatim,
+so claim and evidence cannot drift.
 """
 
 from __future__ import annotations
@@ -52,8 +55,17 @@ def value_hash(rows: list[dict], cols: list[str]) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import time
+
+    json_path = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        else:
+            argv.append(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
@@ -78,6 +90,7 @@ def main() -> None:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,9 +101,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             failed.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"{name}: no_oracle (spark_rows={len(srows)})")
+            results[name] = {"status": "no_oracle", "spark_rows": len(srows)}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -99,6 +114,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             failed.append(name)
+            results[name] = {"status": "oracle_error", "err": str(e)[:200]}
             continue
         rows_match = len(srows) == len(orows)
         schema_match = sorted(scols) == sorted(ocols)
@@ -110,6 +126,10 @@ def main() -> None:
         status = "OK" if (rows_match and schema_match and hash_match) else "FAIL"
         if status == "FAIL":
             failed.append(name)
+        results[name] = {
+            "status": status, "rows": len(srows), "oracle_rows": len(orows),
+            "schema_match": schema_match, "hash_match": hash_match,
+        }
         print(
             f"{name}: {status} rows={len(srows)}/{len(orows)}"
             f" schema={schema_match} hash={hash_match}"
@@ -122,6 +142,24 @@ def main() -> None:
             print("  spark-only:", sd)
             print("  oracle-only:", od)
     spark.stop()
+    if json_path:
+        import json as _json
+
+        n_reg = len(qs)
+        n_oracled = sum(1 for n in qs if n in oracles)
+        artifact = {
+            "sf_dir": sf_dir,
+            "generated_at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+            "queries_registered": n_reg,
+            "queries_oracled": n_oracled,
+            "queries_no_oracle": sorted(n for n in qs if n not in oracles),
+            "checked": len(results),
+            "ok": sum(1 for r in results.values() if r["status"] == "OK"),
+            "failed": sorted(failed),
+            "results": results,
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(artifact, fh, indent=1)
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
