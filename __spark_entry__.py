@@ -1299,6 +1299,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(pq_encode(emb), query, k=20)
 
 
+def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN lane: ADC shortlist (top-100 from 16x-lossy
+    codes, ~1/16th the bytes) + EXACT cosine rerank on the shortlist's
+    vectors only (the Faiss refine pattern). Oracle: the _pq_oracle
+    shortlist CTE joined back to the vectors for exact rescoring —
+    measured recall@10 for this lane is pinned in tests/test_pq_recall.py
+    and BENCH/recall_pq.json."""
+    from parquet_extra_spark.operators.similarity import (
+        pq_encode,
+        pq_refine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    return pq_refine_topk(emb, pq_encode(emb), query, k=20, shortlist=100)
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (the Faiss IVFADC shape): coarse cells prune to
     nprobe/n_cells of the rows, ADC over PQ codes ranks the survivors —
@@ -1470,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": q_gap_fill_hourly,
         "gap_fill_locf": q_gap_fill_locf,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_refine_topk": q_pq_refine_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_persisted": q_ivfpq_persisted,
         "hash_split": q_hash_split,
@@ -1778,10 +1796,10 @@ ORDER BY cosine DESC, id LIMIT 20
 """
 
 
-def _pq_oracle() -> str:
-    """SQL replica of pq_encode(m=8, n_centroids=16) + pq_topk(k=20):
-    identical codebook literals, argmax code assignment per subspace,
-    identical LUT gather-and-sum in the same order."""
+def _pq_sql_parts() -> tuple[str, str, str, float]:
+    """(codes_sql, lut_sql, ip_terms, qn) — the shared literal pieces of
+    the PQ oracles: codebook assignment, the query's LUT, the ADC
+    gather-sum, and the query norm."""
     import numpy as np
 
     from parquet_extra_spark.operators.similarity import _pq_codebooks
@@ -1813,6 +1831,14 @@ def _pq_oracle() -> str:
         f"lut[{j * K} + codes[{j + 1}] + 1]" for j in range(m)
     )
     codes_sql = "[" + ", ".join(code_exprs) + "]"
+    return codes_sql, lut_sql, ip_terms, qn
+
+
+def _pq_oracle() -> str:
+    """SQL replica of pq_encode(m=8, n_centroids=16) + pq_topk(k=20):
+    identical codebook literals, argmax code assignment per subspace,
+    identical LUT gather-and-sum in the same order."""
+    codes_sql, lut_sql, ip_terms, qn = _pq_sql_parts()
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT id, {codes_sql} AS codes,
@@ -1821,6 +1847,26 @@ c AS (SELECT id, {codes_sql} AS codes,
 SELECT id, round(({ip_terms}) / ({qn!r} * vnorm), 6) AS cosine_adc
 FROM c WHERE vnorm > 0
 ORDER BY cosine_adc DESC, id LIMIT 20
+"""
+
+
+def _pq_refine_oracle() -> str:
+    """SQL replica of pq_refine_topk(shortlist=100, k=20): the ADC
+    shortlist CTE (same rounding + id tie-break as pq_topk) joined back
+    to the raw vectors for exact cosine rerank — brute_force_topk's
+    output shape over the shortlist only."""
+    codes_sql, lut_sql, ip_terms, qn = _pq_sql_parts()
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT id, {codes_sql} AS codes,
+      round(sqrt(list_sum(list_transform(v, x -> x * x))), 9) AS vnorm,
+      {lut_sql} AS lut FROM v),
+short AS (SELECT id FROM c WHERE vnorm > 0
+          ORDER BY round(({ip_terms}) / ({qn!r} * vnorm), 6) DESC, id
+          LIMIT 100)
+SELECT v.id, round(list_cosine_similarity(v.v, {_ANN_QUERY_SQL}), 6) AS cosine
+FROM v JOIN short ON short.id = v.id
+ORDER BY cosine DESC, v.id LIMIT 20
 """
 
 
@@ -2234,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_topk": _ivf_oracle(),
         "pq_adc_topk": _pq_oracle(),
+        "pq_refine_topk": _pq_refine_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "ivfpq_persisted": _ivfpq_oracle(),
         "ngram_jaccard_lsh": _ngram_lsh_oracle(),

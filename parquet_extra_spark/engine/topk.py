@@ -55,9 +55,13 @@ def topk_encoded(
     """Top-k rows by ``order_cols[0]`` (descending by default), with the
     remaining ``order_cols`` as ascending tie-breakers — include a unique
     key there to make the returned SET deterministic under boundary ties.
-    ``columns`` projects the decoded output (the ordering columns are
-    added for the sort and projected back out if not requested).
-    Returns a DataFrame ordered by the full spec, at most k rows.
+    Only ``order_cols[0]`` participates in chunk PRUNING (the seed and
+    the k-th-value threshold are single-column bounds); tie-break columns
+    decode at row scale for the surviving chunks only — they order, they
+    never prune. ``columns`` projects the decoded output (the ordering
+    columns are added for the sort and projected back out if not
+    requested). Returns a DataFrame ordered by the full spec, at most k
+    rows.
 
     ``where`` filters BEFORE ranking (SQL: WHERE ... ORDER BY ... LIMIT
     k): chunks impossible under the predicate are stats-pruned up front,
