@@ -659,3 +659,49 @@ class TestNullSemantics:
             "::BIGINT % 10000) < 10000"
         ).df()
         assert sorted(want["id"]) == ["a", "b", "c"]
+
+
+class TestPlanLaziness:
+    """VERDICT r4 task 4 'done' criterion: operator CONSTRUCTION runs no
+    Spark job — the replication/alignment guards live in the plan
+    (raise_error on the flowing rows), not in a pre-scan action."""
+
+    def _assert_no_jobs(self, spark, build):
+        sc = spark.sparkContext
+        group = f"plan-only-{id(build)}"
+        sc.setJobGroup(group, "plan-laziness check")
+        try:
+            df = build()
+            # schema resolution is allowed (analysis, not execution)
+            _ = df.schema
+        finally:
+            sc.setJobGroup(None, None)
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+    def test_range_join_builds_without_jobs(self, spark):
+        pts = spark.createDataFrame(pd.DataFrame({"p": [1.0, 5.0]}))
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [0.0], "hi": [10.0], "band": ["a"]})
+        )
+        self._assert_no_jobs(
+            spark,
+            lambda: range_join(pts, rng, "p", "lo", "hi", bucket_width=2.0,
+                               how="left"),
+        )
+
+    def test_interval_join_builds_without_jobs(self, spark):
+        l = spark.createDataFrame(pd.DataFrame({"alo": [0.0], "ahi": [2.0]}))
+        r = spark.createDataFrame(pd.DataFrame({"blo": [1.0], "bhi": [3.0]}))
+        self._assert_no_jobs(
+            spark,
+            lambda: interval_join(l, r, ("alo", "ahi"), ("blo", "bhi"),
+                                  bucket_width=2.0),
+        )
+
+    def test_gap_fill_builds_without_jobs(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"], "t": [20], "v": [1.0]})
+        )
+        self._assert_no_jobs(
+            spark, lambda: gap_fill(df, "k", "t", 20, locf=["v"])
+        )
