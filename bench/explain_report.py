@@ -674,6 +674,22 @@ def main() -> None:
         formatted(pq),
     ))
 
+    from parquet_extra_spark.operators.similarity import pq_refine_topk
+
+    pr = pq_refine_topk(emb, pq_encode(emb), qv, k=20, shortlist=100)
+    pr_exe = pr._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "PQ refine top-k (ADC shortlist + exact rerank)",
+        "The production ANN lane: the ADC pass picks a 100-id shortlist "
+        "from codes alone, the shortlist BROADCASTS into a semi-join "
+        "against the vector table (the scan side prunes on id), and "
+        "exact cosine reranks only those rows. "
+        f"Broadcast join: {'BroadcastHashJoin' in pr_exe or 'BroadcastNestedLoop' in pr_exe}; "
+        f"semi: {'LeftSemi' in pr_exe}; "
+        f"TakeOrdered: {'TakeOrderedAndProject' in pr_exe}.",
+        formatted(pr),
+    ))
+
     from parquet_extra_spark.operators.sampling import hash_split
 
     hs = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
