@@ -603,6 +603,65 @@ def _resolve_centroids(
     return c
 
 
+def ivfpq_refine_topk_chunks(
+    code_chunks: DataFrame,
+    vector_chunks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    n_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 16,
+    cell_seed: int = 7,
+    pq_seed: int = 11,
+    id_col: str = "id",
+    vec_col: str = "v",
+    colocated: bool = False,
+    codebooks: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """The full production ANN query over STORAGE, end to end: IVF cell
+    pruning (chunk metadata, zero payload decode for non-probed cells)
+    → ADC over the probed cells' 16×-smaller code chunks → a
+    ``shortlist``-id exact rerank served by POINT LOOKUPS into the
+    original vector chunk table — `filter_decode_isin` consults each
+    chunk's membership/Bloom digest, so only chunks that provably may
+    hold a shortlist id decode their vector payload.
+
+    This is the IVFADC + refine architecture (Faiss ``IndexRefineFlat``
+    by name) mapped onto the engine's own pruning machinery: at 100 TB
+    the query touches ~nprobe/n_cells of the code bytes plus ~shortlist
+    rows' worth of vector chunks. The shortlist ids cross the driver
+    once (bounded by ``shortlist``) — inherent to a top-k serving call.
+
+    ``code_chunks`` comes from :func:`ivfpq_encode` (payload = cell,
+    codes, vnorm); ``vector_chunks`` from :func:`ivf_encode` or any
+    chunk table storing (``id_col``, ``vec_col``). Recall for this lane
+    equals pq_refine_topk at the same (nprobe, shortlist) — measured in
+    BENCH/recall_pq.json."""
+    from ..engine.pushdown import filter_decode_isin
+
+    short = ivfpq_topk_chunks(
+        code_chunks, query, k=shortlist, nprobe=nprobe, n_cells=n_cells,
+        m=m, n_centroids=n_centroids, cell_seed=cell_seed, pq_seed=pq_seed,
+        colocated=colocated, codebooks=codebooks, centroids=centroids,
+    )
+    ids = [r["id"] for r in short.collect()]
+    if not ids:
+        return brute_force_topk(
+            vector_chunks.sparkSession.createDataFrame(
+                [], f"{id_col} long, {vec_col} array<double>"
+            ),
+            query, k=k, id_col=id_col, vec_col=vec_col,
+        )
+    cand = filter_decode_isin(
+        vector_chunks, id_col, ids, columns=[id_col, vec_col],
+        colocated=colocated,
+    )
+    return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def _ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
     """Deterministic spherical centroids (seeded unit vectors). Data-
     independent on purpose: assignments are reproducible across engines

@@ -123,3 +123,34 @@ def test_ivfpq_persisted_equals_inmemory_and_prunes(spark, sf_dir):
                                         nprobe=4).collect()]
     assert again == want
     chunks.unpersist()
+
+
+def test_ivfpq_refine_chunks_equals_inmemory_refine(spark, sf_dir):
+    """The full storage-side ANN query (cell-pruned ADC shortlist +
+    Bloom point-lookup exact rerank into the vector chunk table) must
+    equal the in-memory ivfpq_topk(refine=) composition exactly."""
+    from parquet_extra_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_refine_topk_chunks,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    code_chunks = ivfpq_encode(emb, chunk_rows=64, num_partitions=4).cache()
+    vec_chunks = ivf_encode(
+        emb, n_centroids=16, dim=64, chunk_rows=64, num_partitions=4,
+        bloom_cols=["id"],
+    ).cache()
+    code_chunks.count(); vec_chunks.count()
+
+    query = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    got = ivfpq_refine_topk_chunks(
+        code_chunks, vec_chunks, query, k=10, nprobe=4, shortlist=50,
+    ).collect()
+    want = ivfpq_topk(
+        emb, query, k=10, nprobe=4, refine=50,
+    ).collect()
+    assert [(r["id"], r["cosine"]) for r in got] == [
+        (r["id"], r["cosine"]) for r in want
+    ]
+    code_chunks.unpersist(); vec_chunks.unpersist()
