@@ -17,6 +17,8 @@ Hyperplanes are seeded numpy — deterministic, shipped as literal arrays
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -189,6 +191,19 @@ def _pq_codebooks(
     cb = rng.randn(m, n_centroids, d_sub)
     cb /= np.linalg.norm(cb, axis=2, keepdims=True)
     return cb * np.sqrt(d_sub / dim)
+
+
+def codebooks_to_json(arr: np.ndarray) -> str:
+    """Serialize trained codebooks/centroids losslessly (float64 repr
+    round-trips exactly) — persist this next to the index so queries
+    reproduce assignments bit-identically across sessions/engines."""
+    a = np.asarray(arr, dtype=np.float64)
+    return json.dumps({"shape": list(a.shape), "data": a.ravel().tolist()})
+
+
+def codebooks_from_json(text: str) -> np.ndarray:
+    d = json.loads(text)
+    return np.asarray(d["data"], dtype=np.float64).reshape(d["shape"])
 
 
 def _check_codebooks(
