@@ -234,7 +234,6 @@ def main() -> None:
             readings.append(aggregate_membw_gbps())
         return readings
 
-    t_start = time.time()
     with tempfile.TemporaryDirectory() as d:
         ref_write(f"{d}/warm")  # comparator warm-up (same JIT argument)
         shutil.rmtree(f"{d}/warm", ignore_errors=True)
@@ -242,6 +241,9 @@ def main() -> None:
         gate = membw_gate(membw_healthy)
         extra["membw_gate_readings"] = gate
         extra["membw_agg_GBps_start"] = gate[-1]
+        # the sampling budget starts AFTER the gate: waiting for a healthy
+        # window must not eat the window it waited for
+        t_start = time.time()
         t_enc, t_ref, probes, pair_membw = [], [], [], []
         for attempt in range(20):
             elapsed = time.time() - t_start

@@ -59,11 +59,22 @@ def main() -> None:
 
     json_path = None
     argv = []
-    for a in sys.argv[1:]:
+    args = list(sys.argv[1:])
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a == "--json":
+            if i + 1 >= len(args):
+                sys.exit("--json needs a path")
+            json_path = args[i + 1]
+            i += 1
+        elif a.startswith("--"):
+            sys.exit(f"unknown option {a!r}")
         else:
             argv.append(a)
+        i += 1
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -270,10 +270,19 @@ def train_pq_codebooks(
                 + (C * C).sum(1)[None, :]
             )
             assign = d2.argmin(1)
-            far = S[d2.min(1).argmax()]
+            # empty clusters reseed to DISTINCT farthest points: sharing
+            # one point would leave permanent duplicate centroids (the
+            # duplicates tie, argmin picks the lowest index, the rest
+            # stay empty forever) and silently shrink the codebook
+            far_order = np.argsort(-d2.min(1))
+            fi = 0
             for c in range(n_centroids):
                 pts = S[assign == c]
-                C[c] = pts.mean(0) if len(pts) else far
+                if len(pts):
+                    C[c] = pts.mean(0)
+                else:
+                    C[c] = S[far_order[fi]]
+                    fi += 1
         books.append(C)
     return np.stack(books)
 
@@ -595,10 +604,15 @@ def train_ivf_centroids(
             + (C * C).sum(1)[None, :]
         )
         assign = d2.argmin(1)
-        far = S[d2.min(1).argmax()]
+        far_order = np.argsort(-d2.min(1))  # distinct reseeds (see above)
+        fi = 0
         for c in range(n_cells):
             pts = S[assign == c]
-            C[c] = pts.mean(0) if len(pts) else far
+            if len(pts):
+                C[c] = pts.mean(0)
+            else:
+                C[c] = S[far_order[fi]]
+                fi += 1
     # cell assignment is max-dot (spherical); normalize like the default
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -664,12 +678,16 @@ def ivfpq_refine_topk_chunks(
     )
     ids = [r["id"] for r in short.collect()]
     if not ids:
-        return brute_force_topk(
-            vector_chunks.sparkSession.createDataFrame(
-                [], f"{id_col} long, {vec_col} array<double>"
-            ),
-            query, k=k, id_col=id_col, vec_col=vec_col,
+        # schema must match the non-empty path exactly — derive the id
+        # and vector dtypes from the chunk table's discovered schema
+        from ..engine.decoder import discover_schema
+
+        dts = {c: d for c, _, d in discover_schema(vector_chunks)}
+        empty = vector_chunks.sparkSession.createDataFrame(
+            [], f"`{id_col}` {dts[id_col]}, `{vec_col}` {dts[vec_col]}"
         )
+        return brute_force_topk(empty, query, k=k, id_col=id_col,
+                                vec_col=vec_col)
     cand = filter_decode_isin(
         vector_chunks, id_col, ids, columns=[id_col, vec_col],
         colocated=colocated,

@@ -62,7 +62,10 @@ def _bounded_hi(b_lo: Column, b_hi: Column, cap: int) -> Column:
     separate validation scan of the ranges table (the pre-scan cost a
     full extra action per call at 100 TB)."""
     nb = b_hi - b_lo + F.lit(1)
-    return F.when(nb <= F.lit(cap), b_hi).otherwise(
+    # NULL bounds: nb is NULL, the guard passes b_hi through, and
+    # explode(sequence(NULL, ...)) drops the row — same silent-skip the
+    # eager max() guard gave NULL-bounded intervals
+    return F.when(nb.isNull() | (nb <= F.lit(cap)), b_hi).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("an interval spans "),

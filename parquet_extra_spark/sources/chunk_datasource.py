@@ -130,13 +130,38 @@ SCHEMA_SIDECAR_PREFIX = "_schema-"
 # staged files.
 
 
+_FS_CACHE: dict = {}
+
+
 def _fs_for(path: str):
-    """-> (pyarrow FileSystem, filesystem-local path)."""
+    """-> (pyarrow FileSystem, filesystem-local path).
+
+    Filesystems cache per (scheme, authority): creating an S3/HDFS
+    client per call would add credential/connection setup to every
+    file of a scan. The fs-local path for a cached filesystem derives
+    from the URI split the same way ``from_uri`` produced it for the
+    first path of that authority (bucket-in-path stores like s3 keep
+    the netloc in the path; authority stores like hdfs do not)."""
+    from urllib.parse import urlsplit
+
     from pyarrow import fs as pafs
 
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), path
+    if "://" not in path:
+        fs = _FS_CACHE.get(("", ""))
+        if fs is None:
+            fs = pafs.LocalFileSystem()
+            _FS_CACHE[("", "")] = fs
+        return fs, path
+    parts = urlsplit(path)
+    key = (parts.scheme, parts.netloc)
+    hit = _FS_CACHE.get(key)
+    if hit is None:
+        fs, p = pafs.FileSystem.from_uri(path)
+        netloc_in_path = bool(parts.netloc) and p.startswith(parts.netloc)
+        _FS_CACHE[key] = (fs, netloc_in_path)
+        return fs, p
+    fs, netloc_in_path = hit
+    return fs, (parts.netloc + parts.path) if netloc_in_path else parts.path
 
 
 def _fs_listdir(path: str) -> list[str]:
@@ -349,10 +374,15 @@ def _committed_files(
     )
     files = (f for f in dataset.files if f.endswith(".parquet"))
     if "://" in root:
-        # dataset.files are fs-local: restore the scheme so executors
-        # re-resolve the same filesystem
-        scheme = root.split("://", 1)[0]
-        return sorted(f"{scheme}://{f}" for f in files)
+        # dataset.files are fs-local: restore the full URI prefix —
+        # INCLUDING the authority (hdfs://namenode:8020/...) — so
+        # executors re-resolve the same filesystem. root always ends
+        # with its own fs-local form, so the prefix is the difference.
+        if root.endswith(droot):
+            prefix = root[: len(root) - len(droot)]
+        else:  # defensive: bucket-in-path stores (s3://bucket/...)
+            prefix = root.split("://", 1)[0] + "://"
+        return sorted(f"{prefix}{f}" for f in files)
     return sorted(files)
 
 

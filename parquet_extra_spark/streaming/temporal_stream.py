@@ -89,9 +89,13 @@ def asof_enrich_stream(
         *[F.lit(None).cast(rschema[c]).alias(f"__r_{c}") for c in right_cols],
     )
     # batch asof_join semantics: right rows with NULL time are ignored
-    # (they can never be an as-of match) — drop them before the union so
-    # they can't become a provider via the int64 sort sentinel.
-    r_tag = right.where(F.col(right_time).isNotNull()).select(
+    # (they can never be an as-of match) and so are null-KEY right rows
+    # (equi-join is null-unsafe; groupBy(on) would otherwise group NULL
+    # keys and serve them as providers/carried state) — drop both before
+    # the union, matching operators/temporal.asof_join exactly.
+    r_tag = right.where(
+        F.col(right_time).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_time).alias(_T),
         F.lit(0).alias(_SIDE),

@@ -99,3 +99,31 @@ def test_query_matches_oracle(spark, duck, name):
             f"  spark-only (3): {list(only_s.items())[:3]}\n"
             f"  duck-only  (3): {list(only_d.items())[:3]}"
         )
+
+
+def test_driver_window_contains_the_risky_queries():
+    """The correctness driver checks only the FIRST 50 queries() entries.
+    Pin that every newest/riskiest query AND the curated core sit inside
+    that window (the round-4 failure mode: 37 queries appended past it,
+    zero driver-verified rows; then a round-5 off-by-one pushed a curated
+    query to slot 51)."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    window = set(names[:50])
+    must_be_inside = [
+        # round-4/5 headline surfaces
+        "pq_refine_topk", "pq_adc_topk", "ivfpq_topk", "ivfpq_persisted",
+        "asof_attribution", "asof_broadcast", "range_join_bands",
+        "interval_overlap", "sessionize_events", "gap_fill_hourly",
+        "hash_split", "stratified_sample", "weighted_sample",
+        "trigram_pushdown", "continuous_aggregate", "encoded_dim_join",
+        "encoded_topk", "encoded_quantiles", "pipeline_prepare",
+        # curated always-verified core
+        "roundtrip_full", "roundtrip_sha", "projection", "filter_pushdown",
+        "datasource_write_roundtrip", "datasource_filter",
+        "datasource_projection", "roundtrip_nested", "evolution_projection",
+        "merge_upsert", "roundtrip_after_delete", "encoded_group_sum",
+    ]
+    missing = [n for n in must_be_inside if n not in window]
+    assert not missing, f"queries outside the driver's 50-slot window: {missing}"

@@ -705,3 +705,25 @@ class TestPlanLaziness:
         self._assert_no_jobs(
             spark, lambda: gap_fill(df, "k", "t", 20, locf=["v"])
         )
+
+
+    def test_range_join_null_bounds_dropped_not_raised(self, spark):
+        # NULL lo/hi: the in-plan guard must pass the row to
+        # explode(sequence(NULL,...)) — silently dropped, like the old
+        # eager max() guard (NULL-skipping) did; never raise_error
+        pts = spark.createDataFrame(pd.DataFrame({"p": [5.0]}))
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [0.0, None], "hi": [10.0, None],
+                          "band": ["ok", "nullrow"]})
+        )
+        out = range_join(pts, rng, "p", "lo", "hi", bucket_width=5.0).collect()
+        assert len(out) == 1 and out[0]["band"] == "ok"
+
+    def test_interval_join_null_bounds_dropped_not_raised(self, spark):
+        l = spark.createDataFrame(
+            pd.DataFrame({"alo": [0.0, None], "ahi": [4.0, None]})
+        )
+        r = spark.createDataFrame(pd.DataFrame({"blo": [2.0], "bhi": [6.0]}))
+        out = interval_join(l, r, ("alo", "ahi"), ("blo", "bhi"),
+                            bucket_width=4.0).collect()
+        assert len(out) == 1 and out[0]["alo"] == 0.0

@@ -143,3 +143,20 @@ def test_null_times_match_batch_semantics(spark, tmp_path):
     # the real event matches the real right row, never the null-time one
     real = [v for k, v in rows.items() if k is not None][0]
     assert real["rv"] == 100.0 and not real["late"]
+
+
+def test_null_key_right_rows_match_nothing(spark, tmp_path):
+    # batch asof_join drops null-key right rows; the stream must too —
+    # groupBy(on) would otherwise group NULL keys and serve them.
+    l = spark.createDataFrame(
+        [(None, _ts(10), 10), (1, _ts(10), 11)],
+        "k long, lt_s string, lv long",
+    ).withColumn("lt", F.col("lt_s").cast("timestamp")).drop("lt_s")
+    r = spark.createDataFrame(
+        [(None, _ts(5), 111.0), (1, _ts(5), 222.0)],
+        "k long, rt_s string, rv double",
+    ).withColumn("rt", F.col("rt_s").cast("timestamp")).drop("rt_s")
+    got = _run_stream(spark, tmp_path, "asof_nullkey", [l], [r])
+    rows = {row["k"]: row for row in got.collect()}
+    assert rows[None]["rv"] is None and rows[None]["rt_us"] is None
+    assert rows[1]["rv"] == 222.0
