@@ -1874,47 +1874,22 @@ ORDER BY cosine DESC, v.id LIMIT 20
 
 def _ivfpq_oracle() -> str:
     """SQL replica of ivfpq_topk(k=20, nprobe=4): the _ivf_oracle cell
-    filter composed with the _pq_oracle assignment + LUT scoring."""
+    filter composed with the _pq_oracle assignment + LUT scoring — the
+    PQ pieces come from the SAME _pq_sql_parts the pq_adc_topk /
+    pq_refine_topk oracles use, so codebook math cannot drift between
+    the PQ and IVF-PQ oracles."""
     import numpy as np
 
-    from parquet_extra_spark.operators.similarity import (
-        _ivf_centroids,
-        _pq_codebooks,
-    )
+    from parquet_extra_spark.operators.similarity import _ivf_centroids
 
-    dim, m, K = 64, 8, 16
-    d_sub = dim // m
-    cents = _ivf_centroids(dim, 16, 7)
+    cents = _ivf_centroids(64, 16, 7)
     q = np.array([((i * 37) % 17 - 8) / 10.0 for i in range(64)])
     probes = (np.argsort(-(cents @ q))[:4] + 1).tolist()
     dots = ", ".join(
         "list_dot_product(v, [" + ", ".join(repr(float(w)) for w in c) + "])"
         for c in cents
     )
-    cb = _pq_codebooks(dim, m, K, 11)
-    qn = float(np.linalg.norm(q))
-    lut = [
-        float(np.dot(q[j * d_sub:(j + 1) * d_sub], cb[j][c]))
-        for j in range(m)
-        for c in range(K)
-    ]
-    code_exprs = []
-    for j in range(m):
-        sub = f"v[{j * d_sub + 1}:{(j + 1) * d_sub}]"
-        scores = ", ".join(
-            f"list_dot_product({sub}, ["
-            + ", ".join(repr(float(w)) for w in cb[j][c])
-            + f"]) - {float(np.dot(cb[j][c], cb[j][c]) / 2.0)!r}"
-            for c in range(K)
-        )
-        code_exprs.append(
-            f"list_position([{scores}], list_max([{scores}])) - 1"
-        )
-    lut_sql = "[" + ", ".join(repr(x) for x in lut) + "]"
-    ip_terms = " + ".join(
-        f"lut[{j * K} + codes[{j + 1}] + 1]" for j in range(m)
-    )
-    codes_sql = "[" + ", ".join(code_exprs) + "]"
+    codes_sql, lut_sql, ip_terms, qn = _pq_sql_parts()
     return f"""
 WITH v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT id, v, [{dots}] AS dots FROM v0),

@@ -245,6 +245,14 @@ def main() -> None:
         # window must not eat the window it waited for
         t_start = time.time()
         t_enc, t_ref, probes, pair_membw = [], [], [], []
+        # flanking stamp: a pair's membw is min(before, after) — a probe
+        # taken only AFTER the pair would classify a window that
+        # throttled during the timed jobs but recovered just before the
+        # probe as healthy (the exact failure the gate exists to stop);
+        # probing DURING the pair would contend with the measured jobs.
+        # Each pair's "before" reading is the previous pair's "after",
+        # so the tightening costs one extra probe per run.
+        prev_probe = aggregate_membw_gbps(reps=2)
         for attempt in range(20):
             elapsed = time.time() - t_start
             # soft budget needs >=2 pairs: a single pair can be a throttled
@@ -257,6 +265,8 @@ def main() -> None:
             if p > probe_best * 1.3 and len(t_enc) >= 1 and elapsed < 360:
                 # throttled window: don't waste a timed pair on it
                 time.sleep(3)
+                # keep the next pair's "before" stamp fresh across the skip
+                prev_probe = aggregate_membw_gbps(reps=2)
                 continue
             probes.append(round(p, 3))
             t0 = time.time()
@@ -266,8 +276,11 @@ def main() -> None:
             ref_write(f"{d}/ref")
             t_ref.append(round(time.time() - t0, 3))
             shutil.rmtree(f"{d}/ref", ignore_errors=True)
-            # stamp the pair with the window's OWN membw (cheap variant)
-            pair_membw.append(aggregate_membw_gbps(reps=2))
+            # stamp the pair with the window's OWN membw (cheap variant,
+            # flanking min — see prev_probe above)
+            post_probe = aggregate_membw_gbps(reps=2)
+            pair_membw.append(min(prev_probe, post_probe))
+            prev_probe = post_probe
             if len(t_enc) >= 5:
                 # stop once some attempt was jointly fast IN A HEALTHY
                 # WINDOW: both sides within 25% of their global minima AND

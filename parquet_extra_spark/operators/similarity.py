@@ -216,6 +216,55 @@ def _check_codebooks(
     return cb
 
 
+def _hash_ordered_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """The deterministic training sample both trainers share: the
+    ``sample_rows`` vectors with the smallest ``xxhash64(id)`` — a
+    TakeOrdered, not a scan-order-dependent limit, so the sample
+    reproduces across runs, partitionings, and engines."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    return np.asarray([r["v"] for r in rows], dtype=np.float64)
+
+
+def _kmeans_lloyd(
+    S: np.ndarray, k: int, iters: int, rng: np.random.RandomState
+) -> np.ndarray:
+    """Deterministic Lloyd k-means both trainers share: seeded init,
+    FIXED iteration count (no data-dependent convergence test), and
+    empty clusters reseeded to DISTINCT farthest points — sharing one
+    point would leave permanent duplicate centroids (the duplicates
+    tie, argmin picks the lowest index, the rest stay empty forever)
+    and silently shrink the codebook."""
+    C = S[rng.choice(len(S), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # (n, K) squared L2 via the expanded form — no n*K*d temp
+        d2 = (
+            (S * S).sum(1, keepdims=True)
+            - 2.0 * (S @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        far_order = np.argsort(-d2.min(1))
+        fi = 0
+        for c in range(k):
+            pts = S[assign == c]
+            if len(pts):
+                C[c] = pts.mean(0)
+            else:
+                C[c] = S[far_order[fi]]
+                fi += 1
+    return C
+
+
 def train_pq_codebooks(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -242,48 +291,21 @@ def train_pq_codebooks(
     sample, not the corpus)."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    rows = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
-        .limit(sample_rows)
-        .collect()
-    )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X = _hash_ordered_sample(df, id_col, vec_col, sample_rows)
     if len(X) < n_centroids:
         raise ValueError(
             f"training sample has {len(X)} rows < n_centroids={n_centroids}"
         )
     d_sub = dim // m
-    books = []
-    for j in range(m):
-        S = np.ascontiguousarray(X[:, j * d_sub:(j + 1) * d_sub])
-        rng = np.random.RandomState(seed + 1000 * j)
-        C = S[rng.choice(len(S), size=n_centroids, replace=False)].copy()
-        for _ in range(iters):
-            # (n, K) squared L2 via the expanded form — no n*K*d temp
-            d2 = (
-                (S * S).sum(1, keepdims=True)
-                - 2.0 * (S @ C.T)
-                + (C * C).sum(1)[None, :]
-            )
-            assign = d2.argmin(1)
-            # empty clusters reseed to DISTINCT farthest points: sharing
-            # one point would leave permanent duplicate centroids (the
-            # duplicates tie, argmin picks the lowest index, the rest
-            # stay empty forever) and silently shrink the codebook
-            far_order = np.argsort(-d2.min(1))
-            fi = 0
-            for c in range(n_centroids):
-                pts = S[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(0)
-                else:
-                    C[c] = S[far_order[fi]]
-                    fi += 1
-        books.append(C)
+    books = [
+        _kmeans_lloyd(
+            np.ascontiguousarray(X[:, j * d_sub:(j + 1) * d_sub]),
+            n_centroids,
+            iters,
+            np.random.RandomState(seed + 1000 * j),
+        )
+        for j in range(m)
+    ]
     return np.stack(books)
 
 
@@ -581,38 +603,12 @@ def train_ivf_centroids(
     reseeded to the farthest point. Measured effect (bench/recall_pq.py):
     the coarse quantizer, not the code book, dominates recall at low
     nprobe — training it aligns cells with the data's clusters."""
-    rows = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
-        .limit(sample_rows)
-        .collect()
-    )
-    S = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    S = _hash_ordered_sample(df, id_col, vec_col, sample_rows)
     if len(S) < n_cells:
         raise ValueError(
             f"training sample has {len(S)} rows < n_cells={n_cells}"
         )
-    rng = np.random.RandomState(seed)
-    C = S[rng.choice(len(S), size=n_cells, replace=False)].copy()
-    for _ in range(iters):
-        d2 = (
-            (S * S).sum(1, keepdims=True)
-            - 2.0 * (S @ C.T)
-            + (C * C).sum(1)[None, :]
-        )
-        assign = d2.argmin(1)
-        far_order = np.argsort(-d2.min(1))  # distinct reseeds (see above)
-        fi = 0
-        for c in range(n_cells):
-            pts = S[assign == c]
-            if len(pts):
-                C[c] = pts.mean(0)
-            else:
-                C[c] = S[far_order[fi]]
-                fi += 1
+    C = _kmeans_lloyd(S, n_cells, iters, np.random.RandomState(seed))
     # cell assignment is max-dot (spherical); normalize like the default
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

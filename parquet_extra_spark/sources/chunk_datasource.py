@@ -136,13 +136,18 @@ _FS_CACHE: dict = {}
 def _fs_for(path: str):
     """-> (pyarrow FileSystem, filesystem-local path).
 
-    Filesystems cache per (scheme, authority): creating an S3/HDFS
-    client per call would add credential/connection setup to every
-    file of a scan. The fs-local path for a cached filesystem derives
-    from the URI split the same way ``from_uri`` produced it for the
-    first path of that authority (bucket-in-path stores like s3 keep
-    the netloc in the path; authority stores like hdfs do not)."""
-    from urllib.parse import urlsplit
+    Filesystems cache per (scheme, authority, query): creating an
+    S3/HDFS client per call would add credential/connection setup to
+    every file of a scan (the query string participates in the key
+    because ``from_uri`` honors connection options like
+    ``?endpoint_override=`` — two URIs differing only there must not
+    share a client). The fs-local path derives from the URI split the
+    SAME way on every call — percent-decoded, netloc kept for
+    bucket-in-path stores (s3) and dropped for authority stores
+    (hdfs) — never from ``from_uri``'s return, so cache-hit and
+    cache-miss calls cannot resolve the same URI to two different
+    object keys."""
+    from urllib.parse import unquote, urlsplit
 
     from pyarrow import fs as pafs
 
@@ -153,40 +158,40 @@ def _fs_for(path: str):
             _FS_CACHE[("", "")] = fs
         return fs, path
     parts = urlsplit(path)
-    key = (parts.scheme, parts.netloc)
+    key = (parts.scheme, parts.netloc, parts.query)
     hit = _FS_CACHE.get(key)
     if hit is None:
         fs, p = pafs.FileSystem.from_uri(path)
         netloc_in_path = bool(parts.netloc) and p.startswith(parts.netloc)
         _FS_CACHE[key] = (fs, netloc_in_path)
-        return fs, p
+        hit = (fs, netloc_in_path)
     fs, netloc_in_path = hit
-    return fs, (parts.netloc + parts.path) if netloc_in_path else parts.path
+    local = unquote(parts.path)
+    return fs, (parts.netloc + local) if netloc_in_path else local
 
 
 def _fs_listdir(path: str) -> list[str]:
     """Base names of a directory's entries; [] when absent (same contract
-    as the old os.listdir wrapper)."""
+    as the old os.listdir wrapper). A genuinely MISSING directory is the
+    only swallowed case (``allow_not_found``): auth/network/permission
+    failures on object stores must SURFACE, not read as "no data" — an
+    expired S3 token that silently returned [] here would make a
+    checkpoint table scan yield 0 rows and a stream idle forever."""
     from pyarrow import fs as pafs
 
     fs, p = _fs_for(path)
-    try:
-        infos = fs.get_file_info(
-            pafs.FileSelector(p, recursive=False, allow_not_found=True)
-        )
-    except (OSError, pa.ArrowInvalid):
-        return []
+    infos = fs.get_file_info(
+        pafs.FileSelector(p, recursive=False, allow_not_found=True)
+    )
     return [i.base_name for i in infos]
 
 
 def _fs_ftype(path: str):
-    from pyarrow import fs as pafs
-
+    """FileType of a path. Missing paths report NotFound via pyarrow's
+    own contract; real I/O errors surface (same rationale as
+    ``_fs_listdir``)."""
     fs, p = _fs_for(path)
-    try:
-        return fs.get_file_info(p).type
-    except (OSError, pa.ArrowInvalid):
-        return pafs.FileType.NotFound
+    return fs.get_file_info(p).type
 
 
 def _fs_isdir(path: str) -> bool:
@@ -376,12 +381,21 @@ def _committed_files(
     if "://" in root:
         # dataset.files are fs-local: restore the full URI prefix —
         # INCLUDING the authority (hdfs://namenode:8020/...) — so
-        # executors re-resolve the same filesystem. root always ends
-        # with its own fs-local form, so the prefix is the difference.
-        if root.endswith(droot):
-            prefix = root[: len(root) - len(droot)]
-        else:  # defensive: bucket-in-path stores (s3://bucket/...)
-            prefix = root.split("://", 1)[0] + "://"
+        # executors re-resolve the same filesystem. Bucket-in-path
+        # stores (s3://bucket/...) already carry the netloc inside the
+        # fs-local path, so scheme:// alone restores the URI; authority
+        # stores (hdfs://host:port/...) need scheme://netloc back. This
+        # never string-matches root against droot (trailing slashes /
+        # from_uri normalization made that fragile).
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(root)
+        netloc_in_path = bool(parts.netloc) and droot.startswith(parts.netloc)
+        prefix = (
+            f"{parts.scheme}://"
+            if netloc_in_path
+            else f"{parts.scheme}://{parts.netloc}"
+        )
         return sorted(f"{prefix}{f}" for f in files)
     return sorted(files)
 
