@@ -1339,6 +1339,26 @@ def q_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ivfpq_topk_chunks(chunks, q, k=20, nprobe=4, colocated=True)
 
 
+def q_ivfpq_refine_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN serving query over STORAGE, end to end:
+    IVF cell pruning on chunk metadata → ADC shortlist over the probed
+    cells' 16x-smaller code chunks → exact cosine rerank served by
+    Bloom point lookups into the original vector chunk table (the Faiss
+    IVFADC + IndexRefineFlat architecture on the engine's own pruning).
+    Oracle: the _ivfpq_oracle shortlist CTE joined back to the raw
+    vectors for exact rescoring."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    code_chunks = ops.ivfpq_encode(emb, chunk_rows=1024, num_partitions=8)
+    vec_chunks = ops.ivf_encode(
+        emb, chunk_rows=1024, num_partitions=8, bloom_cols=["id"]
+    )
+    q = [((i * 37) % 17 - 8) / 10.0 for i in range(64)]
+    return ops.ivfpq_refine_topk_chunks(
+        code_chunks, vec_chunks, q, k=20, nprobe=4, shortlist=100,
+        colocated=True,
+    )
+
+
 def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly event counts per type with zero-filled silent hours —
     the time_bucket_gapfill shape: sequence() per key builds the dense
@@ -1492,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refine_topk": q_pq_refine_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_persisted": q_ivfpq_persisted,
+        "ivfpq_refine_chunks": q_ivfpq_refine_chunks,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
@@ -1904,6 +1925,41 @@ ORDER BY cosine_adc DESC, id LIMIT 20
 """
 
 
+def _ivfpq_refine_oracle() -> str:
+    """SQL replica of ivfpq_refine_topk_chunks(nprobe=4, shortlist=100,
+    k=20): the _ivfpq_oracle's cell-filtered ADC ranking as a
+    shortlist CTE (same rounding + id tie-break), joined back to the
+    raw vectors for exact cosine rerank — the storage path must equal
+    this in-memory composition exactly."""
+    import numpy as np
+
+    from parquet_extra_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16, 7)
+    q = np.array([((i * 37) % 17 - 8) / 10.0 for i in range(64)])
+    probes = (np.argsort(-(cents @ q))[:4] + 1).tolist()
+    dots = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(float(w)) for w in c) + "])"
+        for c in cents
+    )
+    codes_sql, lut_sql, ip_terms, qn = _pq_sql_parts()
+    return f"""
+WITH v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT id, v, [{dots}] AS dots FROM v0),
+a AS (SELECT id, v, list_position(dots, list_max(dots)) AS cell FROM d),
+s AS (SELECT id, v FROM a WHERE cell IN ({", ".join(str(x) for x in probes)})),
+c AS (SELECT id, {codes_sql} AS codes,
+      round(sqrt(list_sum(list_transform(v, x -> x * x))), 9) AS vnorm,
+      {lut_sql} AS lut FROM s),
+short AS (SELECT id FROM c WHERE vnorm > 0
+          ORDER BY round(({ip_terms}) / ({qn!r} * vnorm), 6) DESC, id
+          LIMIT 100)
+SELECT v0.id, round(list_cosine_similarity(v0.v, {_ANN_QUERY_SQL}), 6) AS cosine
+FROM v0 JOIN short ON short.id = v0.id
+ORDER BY cosine DESC, v0.id LIMIT 20
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     profile_union = " UNION ALL ".join(
         f"""SELECT '{c}' AS column, 'string' AS dtype,
@@ -2260,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_refine_topk": _pq_refine_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "ivfpq_persisted": _ivfpq_oracle(),
+        "ivfpq_refine_chunks": _ivfpq_refine_oracle(),
         "ngram_jaccard_lsh": _ngram_lsh_oracle(),
         "cosine_lsh": _cosine_lsh_oracle(),
         "minhash_dedup": _minhash_oracle(),

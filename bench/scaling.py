@@ -115,7 +115,15 @@ def main() -> None:
     taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET") == "1"
     summary["taskset"] = taskset
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BASELINE.md accreted hand-written protocol sections after round 3;
+    # re-runs default to a separate artifact so a confirmation run can't
+    # wipe them. Set SPARK_GRAFT_SCALING_OUT=BENCH/BASELINE.md to restore
+    # the original overwrite behaviour.
+    out_md = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT",
+        os.path.join("BENCH", f"scaling_{levels[0]}v{levels[1]}_latest.md"),
+    )
+    with open(os.path.join(REPO, out_md), "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
             f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')} on "

@@ -106,7 +106,9 @@ def test_driver_window_contains_the_risky_queries():
     Pin that every newest/riskiest query AND the curated core sit inside
     that window (the round-4 failure mode: 37 queries appended past it,
     zero driver-verified rows; then a round-5 off-by-one pushed a curated
-    query to slot 51)."""
+    query to slot 51). encoded_group_sum rotated out when
+    ivfpq_refine_chunks landed: it holds a round-4 driver-green row and
+    its whole encoded-group family (slots 85+) is replica+pytest covered."""
     import __spark_entry__ as e
 
     names = list(e.queries())
@@ -114,6 +116,7 @@ def test_driver_window_contains_the_risky_queries():
     must_be_inside = [
         # round-4/5 headline surfaces
         "pq_refine_topk", "pq_adc_topk", "ivfpq_topk", "ivfpq_persisted",
+        "ivfpq_refine_chunks",
         "asof_attribution", "asof_broadcast", "range_join_bands",
         "interval_overlap", "sessionize_events", "gap_fill_hourly",
         "hash_split", "stratified_sample", "weighted_sample",
@@ -123,7 +126,7 @@ def test_driver_window_contains_the_risky_queries():
         "roundtrip_full", "roundtrip_sha", "projection", "filter_pushdown",
         "datasource_write_roundtrip", "datasource_filter",
         "datasource_projection", "roundtrip_nested", "evolution_projection",
-        "merge_upsert", "roundtrip_after_delete", "encoded_group_sum",
+        "merge_upsert", "roundtrip_after_delete",
     ]
     missing = [n for n in must_be_inside if n not in window]
     assert not missing, f"queries outside the driver's 50-slot window: {missing}"
