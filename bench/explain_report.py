@@ -228,6 +228,44 @@ def main() -> None:
         f"(nprobe=4 of 16 centroids).",
         formatted(ivf_q),
     ))
+
+    # the full storage-side ANN serving query: cell-pruned ADC shortlist
+    # over code chunks + Bloom point-lookup exact rerank into the vector
+    # chunk table (Faiss IVFADC + IndexRefineFlat, on the engine's own
+    # pruning machinery)
+    codec = ops.ivfpq_encode(emb, chunk_rows=64, num_partitions=8).cache()
+    vecc = ops.ivf_encode(
+        emb, chunk_rows=64, n_salts=1, num_partitions=8, bloom_cols=["id"]
+    ).cache()
+    code_total = codec.select("chunk_id").distinct().count()
+    code_kept = (
+        chunk_isin_filter(codec, "cell", probes)
+        .select("chunk_id").distinct().count()
+    )
+    short = ops.ivfpq_topk_chunks(codec, q, k=100, nprobe=4)
+    short_ids = [r["id"] for r in short.collect()]
+    vec_total = vecc.select("chunk_id").distinct().count()
+    # chunks surviving the membership/Bloom prune for the shortlist ids
+    vec_kept = (
+        chunk_isin_filter(vecc, "id", short_ids)
+        .select("chunk_id").distinct().count()
+    )
+    refined = ops.ivfpq_refine_topk_chunks(
+        codec, vecc, q, k=20, nprobe=4, shortlist=100
+    )
+    sections.append((
+        "storage-side IVF-PQ + refine (ivfpq_refine_topk_chunks)",
+        "The full production serving query over STORAGE end to end: "
+        "non-probed cells prune on chunk METADATA (no code payload "
+        "decoded), ADC ranks the probed cells' 16x-smaller code chunks, "
+        "and the exact rerank decodes only vector chunks whose "
+        "membership/Bloom digest may hold a shortlist id. "
+        f"code chunks decoded: {code_kept}/{code_total} (nprobe=4/16); "
+        f"vector chunks decoded for the 100-id rerank: "
+        f"{vec_kept}/{vec_total}.",
+        formatted(refined),
+    ))
+    codec.unpersist(); vecc.unpersist()
     ivfc.unpersist()
 
     # membership-digest pruning: eq/isin beyond min-max ranges
