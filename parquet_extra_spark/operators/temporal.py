@@ -64,8 +64,16 @@ def _bounded_hi(b_lo: Column, b_hi: Column, cap: int) -> Column:
     nb = b_hi - b_lo + F.lit(1)
     # NULL bounds: nb is NULL, the guard passes b_hi through, and
     # explode(sequence(NULL, ...)) drops the row — same silent-skip the
-    # eager max() guard gave NULL-bounded intervals
-    return F.when(nb.isNull() | (nb <= F.lit(cap)), b_hi).otherwise(
+    # eager max() guard gave NULL-bounded intervals.
+    # INVERTED intervals (hi < lo, nb <= 0) drop the same way: they can
+    # match no point under the BETWEEN recheck, but Spark's
+    # sequence(lo, hi) with hi < lo would otherwise generate a
+    # DESCENDING |nb|-element array — a negative nb passes `nb <= cap`
+    # and a single corrupt row (lo=1e9, hi=0) would explode ~1e9 rows
+    # past the cap the guard exists to enforce.
+    return F.when(nb < F.lit(1), F.lit(None).cast("long")).when(
+        nb.isNull() | (nb <= F.lit(cap)), b_hi
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("an interval spans "),

@@ -272,6 +272,24 @@ class TestRangeJoin:
             range_join(pts, rng, "p", "lo", "hi", bucket_width=0.001,
                        max_buckets_per_range=100).count()
 
+    def test_inverted_interval_matches_nothing(self, spark):
+        """An hi < lo range can match no point (SQL BETWEEN semantics) —
+        and it must NOT bypass the replication cap: a negative bucket
+        count passed `nb <= cap`, and Spark's sequence(lo, hi) with
+        hi < lo generates a DESCENDING |nb|-element array, so one
+        corrupt row (lo=1e9, hi=0) exploded ~1e9 rows past the guard."""
+        pts = spark.createDataFrame(pd.DataFrame({"p": [5.0]}))
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [0.0, 1.0e9], "hi": [10.0, 0.0],
+                          "g": ["ok", "corrupt"]})
+        )
+        out = range_join(pts, rng, "p", "lo", "hi", bucket_width=1.0,
+                         max_buckets_per_range=64).collect()
+        assert [(r["p"], r["g"]) for r in out] == [(5.0, "ok")]
+        left = range_join(pts, rng, "p", "lo", "hi", bucket_width=1.0,
+                          max_buckets_per_range=64, how="left")
+        assert left.where(F.col("g") == "corrupt").count() == 0
+
     def test_keyed(self, spark):
         pts = spark.createDataFrame(
             pd.DataFrame({"k": [1, 2], "p": [5.0, 5.0]})
