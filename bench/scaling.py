@@ -23,6 +23,20 @@ interleaved (2,8,2,8,...) and the per-level BEST is used: best-of
 captures machine capability; the full run table is written to
 BENCH/BASELINE.md so the variance is visible, not hidden.
 
+Round-5 hardening (the same lesson bench.py's encode section learned
+from BENCH_r04's membw-4.3 ratio): interleaving alone cannot mark a run
+that STRADDLES a throttle transition — the 2026-08-19 1v4 attempt gated
+on a single 9.1 GB/s probe, then the host re-throttled mid-run and the
+level-1 seconds decayed 40.1 -> 47.6 across the table.  Protocol now:
+(a) the start gate requires TWO consecutive healthy aggregate-DRAM
+readings (a single blip can no longer launch a 30-minute measurement);
+(b) every per-level run is stamped with min(flanking probes) — membw
+before and after, never during, since probing would contend with the
+measured JVM; (c) the headline efficiency uses the per-level best among
+HEALTHY-stamped runs when both levels have one, falling back to the
+global best otherwise — and the artifact says which in its own fields
+(`healthy_selection`, `run_membw_GBps`).
+
 Writes BENCH/BASELINE.md and prints one JSON summary line.
 """
 
@@ -38,6 +52,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mem_stream_work(args):
+    """DRAM-streaming worker (same shape as bench.py / bench/membw_probe.py;
+    module-level so multiprocessing can pickle it)."""
+    import numpy as np
+
+    n, reps = args
+    x = np.random.default_rng(n).integers(
+        0, 255, size=64 * 1024 * 1024 // 8, dtype=np.int64
+    )
+    t0 = time.time()
+    acc = 0
+    for _ in range(reps):
+        acc += int(x.sum())
+        y = x * 3
+        acc += int(y[0])
+    return time.time() - t0
+
+
+def aggregate_membw_gbps(n_proc: int = 8, reps: int = 4) -> float:
+    """8-process aggregate DRAM-stream bandwidth — the probe class that SEES
+    the host's aggregate-throughput throttle (cache-resident and single-
+    stream probes read clean through it; BENCH/BASELINE.md 2026-08-18)."""
+    import multiprocessing as mp
+
+    # traffic accounting and pool setup IDENTICAL to bench.py's probe so
+    # the 8.0 GB/s healthy threshold means the same thing in every artifact
+    traffic = 64 * 1024 * 1024 * 2 * reps  # bytes per process
+    with mp.Pool(n_proc) as pool:
+        pool.map(_mem_stream_work, [(i, 1) for i in range(n_proc)])  # warm
+        t0 = time.time()
+        pool.map(_mem_stream_work, [(i, reps) for i in range(n_proc)])
+        wall = time.time() - t0
+    return round(n_proc * traffic / 1e9 / wall, 3)
+
+
+def membw_gate(threshold: float, max_wait: float) -> list[float]:
+    """Block until TWO consecutive probes read >= threshold (bounded).
+
+    A single healthy blip launched the 2026-08-19 throttled 1v4 run; two
+    consecutive readings ~5 s apart make a transient spike much less
+    likely to start a multi-minute measurement."""
+    readings = [aggregate_membw_gbps()]
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        if (
+            len(readings) >= 2
+            and readings[-1] >= threshold
+            and readings[-2] >= threshold
+        ):
+            return readings
+        time.sleep(5)
+        readings.append(aggregate_membw_gbps())
+    return readings
 
 
 def generate_input(path: str, n_rows: int) -> None:
@@ -89,18 +158,41 @@ def main() -> None:
     )
     repeat = int(os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "3"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    membw_healthy = float(os.environ.get("SPARK_GRAFT_MEMBW_HEALTHY", "8.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_MEMBW_GATE_WAIT", "180"))
+    gate = membw_gate(membw_healthy, gate_wait)
     runs: list[tuple[int, dict]] = []
+    stamps: list[float] = []
     with tempfile.TemporaryDirectory() as d:
         inp = f"{d}/corpus.parquet"
         generate_input(inp, n_rows)
+        # flanking stamp: a run's membw is min(before, after) — probing
+        # DURING the run would contend with the measured JVM, and an
+        # after-only stamp lets a throttle that lifts at the boundary
+        # classify a poisoned run healthy (bench.py round-5 protocol).
+        prev_probe = aggregate_membw_gbps(reps=2)
         for _ in range(repeat):  # interleaved: throttling windows hit both levels
             for c in levels:
                 runs.append((c, run_level(c, inp, rounds)))
+                post_probe = aggregate_membw_gbps(reps=2)
+                stamps.append(min(prev_probe, post_probe))
+                prev_probe = post_probe
 
-    best = {
-        c: max((r for lc, r in runs if lc == c), key=lambda r: r["gbps"])
-        for c in levels
-    }
+    def best_for(c: int, healthy_only: bool) -> dict | None:
+        pool = [
+            r
+            for (lc, r), bw in zip(runs, stamps)
+            if lc == c and (not healthy_only or bw >= membw_healthy)
+        ]
+        return max(pool, key=lambda r: r["gbps"]) if pool else None
+
+    healthy_best = {c: best_for(c, True) for c in levels}
+    healthy_selection = all(healthy_best[c] is not None for c in levels)
+    best = (
+        healthy_best
+        if healthy_selection
+        else {c: best_for(c, False) for c in levels}
+    )
     lo, hi = best[levels[0]], best[levels[1]]
     speedup = hi["gbps"] / lo["gbps"]
     efficiency = speedup / (levels[1] / levels[0])
@@ -111,6 +203,10 @@ def main() -> None:
         "levels": best,
         "speedup": round(speedup, 3),
         "target": 0.8,
+        "membw_gate_readings": gate,
+        "run_membw_GBps": stamps,
+        "membw_healthy_threshold": membw_healthy,
+        "healthy_selection": healthy_selection,
     }
     taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET") == "1"
     summary["taskset"] = taskset
@@ -152,15 +248,20 @@ def main() -> None:
             + f"\n- speedup {levels[0]}->{levels[1]}: **{speedup:.2f}x** "
             f"(ideal {levels[1] // levels[0]}x)\n"
             f"- scaling efficiency: **{efficiency:.3f}** (target >= 0.8)\n"
+            f"- selection: {'per-level best among HEALTHY-stamped runs' if healthy_selection else 'GLOBAL best fallback — no healthy-stamped run at one or both levels; read the ratio as environment-dominated'}\n"
+            f"- membw gate (2 consecutive >= {membw_healthy} GB/s to start): "
+            f"{gate}\n"
             f"- compression: encoded/raw = "
             f"{hi['encoded_bytes'] / hi['raw_bytes']:.4f}\n"
             f"- corpus: {n_rows} rows deterministic synthetic "
             f"(parquet_extra_spark.sources.code_corpus)\n\n"
-            "## All runs (interleaved; host shows multi-minute throttling windows)\n\n"
-            "| order | level | GB/s | seconds |\n|---|---|---|---|\n"
+            "## All runs (interleaved; each stamped min(membw before, after) "
+            f"— healthy >= {membw_healthy} GB/s)\n\n"
+            "| order | level | GB/s | seconds | membw stamp |\n|---|---|---|---|---|\n"
             + "".join(
-                f"| {i} | local[{c}] | {r['gbps']} | {r['seconds']} |\n"
-                for i, (c, r) in enumerate(runs)
+                f"| {i} | local[{c}] | {r['gbps']} | {r['seconds']} | "
+                f"{bw}{' OK' if bw >= membw_healthy else ''} |\n"
+                for i, ((c, r), bw) in enumerate(zip(runs, stamps))
             )
             + f"\n## Why N={levels[0]} vs 4N={levels[1]}\n\n"
             "All 32 cores of this single-VM sandbox share one memory\n"
