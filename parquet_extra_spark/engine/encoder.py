@@ -71,29 +71,32 @@ _RESELECT_EVERY = 8  # re-run full codec selection every Nth chunk per column
 _WORKER_MEMO: dict = {}
 
 
+def _sort_key_np(col: pa.Array):
+    """One sort-key column -> an order-equivalent numpy array for
+    np.lexsort. Strings (and anything int64-uncastable) become
+    dictionary codes: equal values share a code, which is all RLE
+    adjacency needs — the order *within* the chunk is by
+    first-appearance code, not lexicographic, irrelevant for
+    compression and stats."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
+        return col.dictionary_encode().indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    try:
+        return col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        codes = col.cast(pa.string()).dictionary_encode().indices.fill_null(-1)
+        return codes.to_numpy(zero_copy_only=False)
+
+
 def _sort_table(table: pa.Table, sort_cols: list[str]) -> pa.Table:
     """Columnar in-chunk sort: np.lexsort over dictionary codes + one Arrow
-    take. Equal values become adjacent (all RLE needs); the order *within*
-    the chunk is by first-appearance code, not lexicographic — irrelevant
-    for compression and stats. ~10x cheaper than JVM row-wise sorting
-    because the wide content column moves once, columnar, instead of per
-    comparison-driven row copy. Only the (narrow) key columns are combined
-    here; non-key columns stay chunked until the final ``take``, so wide
-    text moves through memory exactly once per chunk."""
+    take. ~10x cheaper than JVM row-wise sorting because the wide content
+    column moves once, columnar, instead of per comparison-driven row
+    copy. Only the (narrow) key columns are combined here; non-key
+    columns stay chunked until the final ``take``, so wide text moves
+    through memory exactly once per chunk."""
     import numpy as np
 
-    keys = []
-    for c in reversed(sort_cols):
-        col = _as_array(table.column(c))
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type):
-            codes = col.dictionary_encode().indices.fill_null(-1)
-            keys.append(codes.to_numpy(zero_copy_only=False))
-        else:
-            try:
-                keys.append(col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False))
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                codes = col.cast(pa.string()).dictionary_encode().indices.fill_null(-1)
-                keys.append(codes.to_numpy(zero_copy_only=False))
+    keys = [_sort_key_np(_as_array(table.column(c))) for c in reversed(sort_cols)]
     order = np.lexsort(keys)
     return table.take(pa.array(order))
 
@@ -207,15 +210,44 @@ def _make_encode_fn(
         # batches — regrouping happens here, columnar, instead of a JVM
         # sortWithinPartitions. That JVM sort buffered+spilled the entire
         # task input through UnsafeExternalSorter (a full extra ser/deser
-        # pass over the wide content bytes) just to make units contiguous;
-        # a dict of per-unit Arrow-slice lists achieves the same grouping
-        # with zero extra copies. Memory stays bounded: a unit flushes the
-        # moment it reaches chunk_rows, and the number of open units per
-        # task is ~n_units/num_partitions (small by construction).
-        bufs: dict[tuple[int, int], list[pa.Table]] = {}
+        # pass over the wide content bytes) just to make units contiguous.
+        # Buffers hold (table, row_indices) pairs — row SELECTIONS, never
+        # pre-gathered copies (indices=None means the whole table): the
+        # regroup gather and the in-chunk RLE sort compose into ONE
+        # permutation applied by a single Arrow take at flush, so the wide
+        # content bytes move through memory exactly once per chunk
+        # (gathering per batch AND sorting per chunk was two full passes).
+        # Memory stays bounded: a unit flushes the moment it reaches
+        # chunk_rows, and the number of open units per task is
+        # ~n_units/num_partitions (small by construction); a referenced
+        # input batch is pinned only until the units it feeds flush.
+        bufs: dict[tuple[int, int], list[tuple[pa.Table, "np.ndarray | None"]]] = {}
         buf_rows: dict[tuple[int, int], int] = {}
         seqs: dict[tuple[int, int], int] = {}
         memo = _WORKER_MEMO  # codec cache shared across tasks in this worker
+
+        def split_parts(parts, k):
+            """Split a parts list at row k without copying values
+            (index-array slicing / zero-copy table slices only)."""
+            head, tail, acc = [], [], 0
+            for t, idx in parts:
+                m = len(idx) if idx is not None else len(t)
+                if acc >= k:
+                    tail.append((t, idx))
+                    continue
+                if acc + m <= k:
+                    head.append((t, idx))
+                    acc += m
+                    continue
+                cut = k - acc
+                if idx is not None:
+                    head.append((t, idx[:cut]))
+                    tail.append((t, idx[cut:]))
+                else:
+                    head.append((t.slice(0, cut), None))
+                    tail.append((t.slice(cut), None))
+                acc = k
+            return head, tail
 
         def flush(key: tuple[int, int]) -> pa.RecordBatch | None:
             parts = bufs.pop(key, None)
@@ -225,16 +257,59 @@ def _make_encode_fn(
             bucket, salt = key
             seq = seqs.get(key, 0)
             seqs[key] = seq + 1
-            # zero-copy concat; per-column combining happens lazily — either
-            # in _sort_table's take (one move for wide columns) or in
-            # _chunk_rows_batch's _as_array per column
-            table = pa.concat_tables(parts)
+            # zero-copy concat of the referenced tables; the composed
+            # gather(+sort) permutation below is the ONE move of the
+            # wide columns (or no move at all: whole-table parts with no
+            # sort_cols go straight to the kernels, which combine chunks
+            # lazily per column)
+            combined = pa.concat_tables([t for t, _ in parts])
+            identity = all(idx is None for _, idx in parts)
+            gidx = None
+            if not identity:
+                pieces, off = [], 0
+                for t, idx in parts:
+                    m = len(t)
+                    pieces.append(
+                        np.arange(off, off + m, dtype=np.int64)
+                        if idx is None
+                        else idx.astype(np.int64) + off
+                    )
+                    off += m
+                gidx = np.concatenate(pieces)
+            if sort_cols:
+                keys = []
+                for c in reversed(sort_cols):
+                    col = combined.column(c)
+                    if gidx is not None:
+                        col = col.take(pa.array(gidx))  # narrow keys only
+                    keys.append(_sort_key_np(_as_array(col)))
+                order = np.lexsort(keys)
+                final_idx = gidx[order] if gidx is not None else order
+                table = combined.take(pa.array(final_idx))
+            elif gidx is not None:
+                table = combined.take(pa.array(gidx))
+            else:
+                table = combined
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
-                sort_cols=sort_cols, uid_namespace=uid_namespace,
+                sort_cols=None, uid_namespace=uid_namespace,
                 schema_fp=schema_fp, display=display, required=required,
                 bloom_cols=bloom_cols, trigram_cols=trigram_cols,
             )
+
+        def overflow(key: tuple[int, int]):
+            while buf_rows.get(key, 0) >= chunk_rows:
+                # split an oversized buffer exactly at chunk_rows
+                head, tail = split_parts(bufs[key], chunk_rows)
+                bufs[key], buf_rows[key] = head, chunk_rows
+                out = flush(key)
+                if out is not None:
+                    yield out
+                if tail:
+                    bufs[key] = tail
+                    buf_rows[key] = sum(
+                        len(i) if i is not None else len(t) for t, i in tail
+                    )
 
         for batch in batches:
             table = pa.Table.from_batches([batch])
@@ -244,32 +319,27 @@ def _make_encode_fn(
             buckets = _as_array(table.column(_BUCKET)).to_numpy(zero_copy_only=False)
             salts = _as_array(table.column(_SALT)).to_numpy(zero_copy_only=False)
             combo = buckets.astype(np.int64) * 1_000_003 + salts.astype(np.int64)
-            # order rows by unit key within the batch (stable), then cut at
-            # key-change boundaries: one argsort + at most one take per
-            # batch, after which each unit's rows append as zero-copy slices
             if (np.diff(combo) != 0).any():
+                # order rows by unit key within the batch (stable argsort
+                # of the narrow key only — the wide columns are NOT
+                # gathered here), cut at key-change boundaries, and buffer
+                # each unit's rows as an index array into the batch
                 order = np.argsort(combo, kind="stable")
-                combo = combo[order]
-                buckets, salts = buckets[order], salts[order]
-                table = table.take(pa.array(order))
-            starts = np.flatnonzero(np.diff(combo, prepend=combo[0] - 1))
-            ends = np.append(starts[1:], n)
-            for start, end in zip(starts.tolist(), ends.tolist()):
-                seg = table.slice(start, end - start)
-                key = (int(buckets[start]), int(salts[start]))
-                bufs.setdefault(key, []).append(seg)
-                buf_rows[key] = buf_rows.get(key, 0) + (end - start)
-                while buf_rows.get(key, 0) >= chunk_rows:
-                    # split an oversized buffer exactly at chunk_rows
-                    merged = pa.concat_tables(bufs[key])
-                    head = merged.slice(0, chunk_rows)
-                    tail = merged.slice(chunk_rows)
-                    bufs[key], buf_rows[key] = [head], chunk_rows
-                    out = flush(key)
-                    if out is not None:
-                        yield out
-                    if len(tail):
-                        bufs[key], buf_rows[key] = [tail], len(tail)
+                combo_s = combo[order]
+                starts = np.flatnonzero(np.diff(combo_s, prepend=combo_s[0] - 1))
+                ends = np.append(starts[1:], n)
+                for start, end in zip(starts.tolist(), ends.tolist()):
+                    idx = order[start:end]
+                    r0 = int(idx[0])
+                    key = (int(buckets[r0]), int(salts[r0]))
+                    bufs.setdefault(key, []).append((table, idx))
+                    buf_rows[key] = buf_rows.get(key, 0) + (end - start)
+                    yield from overflow(key)
+            else:
+                key = (int(buckets[0]), int(salts[0]))
+                bufs.setdefault(key, []).append((table, None))
+                buf_rows[key] = buf_rows.get(key, 0) + n
+                yield from overflow(key)
         for key in sorted(bufs):
             out = flush(key)
             if out is not None:
