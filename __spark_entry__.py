@@ -1468,6 +1468,38 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3-style 100-TB data-prep step):
+    flag every training document sharing any word 5-gram with the held-
+    out eval set (doc_id % 17 == 0 stands in for the benchmark). The
+    broadcast lane never shuffles the corpus — eval n-grams broadcast-
+    semi-join the map-side-exploded corpus n-grams; only (doc_id,
+    partial count) pairs of the contaminated subset reach an exchange."""
+    from parquet_extra_spark.operators.decontaminate import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    return contamination_report(train, ev, n=5, method="broadcast")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic offset packing of documents into fixed-budget
+    training sequences: hash-bucket the corpus, order inside each bucket
+    by a salted md5 (layout-insensitive), cut sequences at running-total
+    budget boundaries. ONE shuffle, two window functions, zero Python —
+    and bit-identical in ANSI SQL, so the full (doc -> sequence, offset)
+    assignment is value-checked externally."""
+    from parquet_extra_spark.operators.packing import pack_by_cumsum
+
+    docs = _docs(spark, sf_dir)
+    out = pack_by_cumsum(
+        docs, id_col="doc_id", size_col="n_chars", budget=4096, n_buckets=8,
+        salt="pack",
+    )
+    return out.select("doc_id", "bucket", "seq_id", "seq_offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the FIRST 50 entries
     # only.  Newest / least-verified queries go first (round-4 temporal/
@@ -1478,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # INVARIANT (tested): exactly 50 entries precede the past-the-window
     # marker — adding a query means retiring one from the curated core.
     return {
+        "decontaminate_docs": q_decontaminate_docs,
+        "pack_sequences": q_pack_sequences,
         "encoded_filtered_sum": q_encoded_filtered_sum,
         "encoded_distinct": q_encoded_distinct,
         "encoded_distinct_multi": q_encoded_distinct_multi,
@@ -1518,19 +1552,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pipeline_prepare": q_pipeline_prepare,
         # --- curated always-verified core (filling the window to 50) ---
-        "roundtrip_full": q_roundtrip_full,
         "roundtrip_sha": q_roundtrip_sha,
         "projection": q_projection,
         "filter_pushdown": q_filter_pushdown,
         "datasource_write_roundtrip": q_datasource_write_roundtrip,
         "datasource_filter": q_datasource_filter,
-        "datasource_projection": q_datasource_projection,
         "roundtrip_nested": q_roundtrip_nested,
         "evolution_projection": q_evolution_projection,
         "merge_upsert": q_merge_upsert,
         "roundtrip_after_delete": q_roundtrip_after_delete,
+        # --- long-stable, pytest/oracle_check-covered (past the window).
+        # roundtrip_full / datasource_projection / encoded_group_sum
+        # rotated out with driver-green r4 rows: roundtrip_sha value-
+        # checks the same full-row surface, the poisoned-payload pytest
+        # pins datasource projection pruning, the encoded-group family
+        # is replica+pytest covered. ---
+        "roundtrip_full": q_roundtrip_full,
+        "datasource_projection": q_datasource_projection,
         "encoded_group_sum": q_encoded_group_sum,
-        # --- long-stable, pytest/oracle_check-covered (past the window) ---
         "pricing_summary": q_pricing_summary,
         "filter_pushdown_compound": q_filter_pushdown_compound,
         "column_profile": q_column_profile,
@@ -1992,6 +2031,38 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     return {
+        "decontaminate_docs": (
+            "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+            "  FROM documents),"
+            " ng AS (SELECT doc_id, unnest(list_distinct("
+            "  [array_to_string(ws[i:i+4], ' ')"
+            "   for i in range(1, greatest(len(ws) - 4, 0) + 1)])) AS ng"
+            "  FROM w),"
+            " ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 17 = 0),"
+            " hits AS (SELECT doc_id, count(*) AS n_hits"
+            "  FROM ng JOIN ev USING (ng) WHERE doc_id % 17 <> 0"
+            "  GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,"
+            "  h.doc_id IS NOT NULL AS contaminated"
+            " FROM documents d LEFT JOIN hits h USING (doc_id)"
+            " WHERE d.doc_id % 17 <> 0"
+        ),
+        "pack_sequences": (
+            "WITH b AS (SELECT doc_id, n_chars,"
+            "  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            "   ::BIGINT % 8 AS INT) AS bucket,"
+            "  md5(CAST(doc_id AS VARCHAR) || chr(31) || 'pack') AS ord"
+            "  FROM documents),"
+            " c AS (SELECT doc_id, bucket,"
+            "  CAST(sum(n_chars) OVER (PARTITION BY bucket ORDER BY ord, doc_id"
+            "   ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS before"
+            "  FROM b)"
+            " SELECT doc_id, bucket,"
+            "  CAST(bucket AS BIGINT) * 1099511627776 + (before // 4096)"
+            "   AS seq_id,"
+            "  before % 4096 AS seq_offset"
+            " FROM c"
+        ),
         "projection": "SELECT doc_id, lang FROM documents",
         "roundtrip_full": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "roundtrip_compacted": (

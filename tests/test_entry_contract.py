@@ -106,9 +106,12 @@ def test_driver_window_contains_the_risky_queries():
     Pin that every newest/riskiest query AND the curated core sit inside
     that window (the round-4 failure mode: 37 queries appended past it,
     zero driver-verified rows; then a round-5 off-by-one pushed a curated
-    query to slot 51). encoded_group_sum rotated out when
-    ivfpq_refine_chunks landed: it holds a round-4 driver-green row and
-    its whole encoded-group family (slots 85+) is replica+pytest covered."""
+    query to slot 51). Rotated out, each holding a round-4 driver-green
+    row and replica+pytest coverage: encoded_group_sum (when
+    ivfpq_refine_chunks landed), roundtrip_full and datasource_projection
+    (when decontaminate_docs / pack_sequences landed — roundtrip_sha
+    value-checks the same rows, the poisoned-payload test pins source
+    projection pruning)."""
     import __spark_entry__ as e
 
     names = list(e.queries())
@@ -122,11 +125,15 @@ def test_driver_window_contains_the_risky_queries():
         "hash_split", "stratified_sample", "weighted_sample",
         "trigram_pushdown", "continuous_aggregate", "encoded_dim_join",
         "encoded_topk", "encoded_quantiles", "pipeline_prepare",
+        "decontaminate_docs", "pack_sequences",
         # curated always-verified core
-        "roundtrip_full", "roundtrip_sha", "projection", "filter_pushdown",
+        "roundtrip_sha", "projection", "filter_pushdown",
         "datasource_write_roundtrip", "datasource_filter",
-        "datasource_projection", "roundtrip_nested", "evolution_projection",
+        "roundtrip_nested", "evolution_projection",
         "merge_upsert", "roundtrip_after_delete",
     ]
     missing = [n for n in must_be_inside if n not in window]
     assert not missing, f"queries outside the driver's 50-slot window: {missing}"
+    # the registry's own invariant: the first rotated-out entry sits at
+    # EXACTLY slot 51 — adding a query without retiring one shifts this
+    assert names.index("roundtrip_full") == 50, names[48:52]
