@@ -740,6 +740,43 @@ def main() -> None:
         hs_plan,
     ))
 
+    from parquet_extra_spark.operators.decontaminate import contamination_report
+
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    evdf = docs.where(F.col("doc_id") % 17 == 0)
+    dc = contamination_report(train, evdf, n=5, method="broadcast")
+    dc_plan = formatted(dc)
+    # the corpus side must reach the join without an Exchange: the only
+    # shuffles are the eval-distinct and the post-join hit aggregation
+    corpus_side_broadcast = "BroadcastHashJoin" in dc_plan
+    sections.append((
+        "eval-set decontamination (broadcast lane)",
+        "Corpus n-grams are generated map-side (split/transform/explode "
+        "inside codegen) and probe a BroadcastHashJoin of the DISTINCT "
+        "eval n-grams — the 100-TB corpus is never shuffled; the only "
+        "exchanges carry the (tiny) eval n-gram set and (doc_id, partial "
+        "count) pairs of the contaminated subset. "
+        f"BroadcastHashJoin on the n-gram: {corpus_side_broadcast}.",
+        dc_plan,
+    ))
+
+    from parquet_extra_spark.operators.packing import pack_by_cumsum
+
+    pk = pack_by_cumsum(docs, id_col="doc_id", size_col="n_chars",
+                        budget=4096, n_buckets=8)
+    pk_plan = formatted(pk)
+    # formatted plans print the node as "(N) Exchange" with
+    # "Arguments: hashpartitioning(...)" on its own line
+    n_exch = pk_plan.count("Arguments: hashpartitioning")
+    sections.append((
+        "sequence packing (offset lane)",
+        "ONE hash Exchange on the bucket feeding a Sort + running-total "
+        "Window; everything else is codegen'd projection — no Python, "
+        "no global sort, window partitions bounded by n_buckets sizing. "
+        f"Hash exchanges: {n_exch} (expect 1).",
+        pk_plan,
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "EXPLAIN.md"), "w") as f:
         f.write(
