@@ -18,22 +18,13 @@ import time
 from pyspark.sql import SparkSession, functions as F
 
 
-def _mem_stream_work(args):
-    """DRAM-streaming worker (same shape as bench/membw_probe.py
-    mem_work; module-level so multiprocessing can pickle it)."""
-    import numpy as np
-
-    n, reps = args
-    x = np.random.default_rng(n).integers(
-        0, 255, size=64 * 1024 * 1024 // 8, dtype=np.int64
-    )
-    t0 = time.time()
-    acc = 0
-    for _ in range(reps):
-        acc += int(x.sum())
-        y = x * 3
-        acc += int(y[0])
-    return time.time() - t0
+# The DRAM probe (worker, aggregate-bandwidth measurement, and health
+# gate) lives in bench/membw_probe.py — ONE definition, shared with
+# bench/scaling.py, so the 8.0 GB/s healthy threshold means the same
+# thing in every committed artifact.  Imported by file location because
+# this module itself shadows the name `bench` for package imports.
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+from membw_probe import aggregate_membw_gbps, membw_gate  # noqa: E402
 
 
 def build_spark(cpus: int) -> SparkSession:
@@ -203,42 +194,25 @@ def main() -> None:
     # every CPU-flavored probe stayed clean. Encode is DRAM-bound past
     # ~8 cores, so record the aggregate number at run start and end —
     # a low value marks the whole artifact environment-dominated.
-    def aggregate_membw_gbps(n_proc: int = 8, reps: int = 4) -> float:
-        import multiprocessing as _mp
-
-        traffic = 64 * 1024 * 1024 * 2 * reps  # bytes per process
-        with _mp.Pool(n_proc) as pool:
-            pool.map(_mem_stream_work, [(i, 1) for i in range(n_proc)])
-            t0 = time.time()
-            pool.map(_mem_stream_work, [(i, reps) for i in range(n_proc)])
-            wall = time.time() - t0
-        return round(n_proc * traffic / 1e9 / wall, 3)
-
     # MEMBW GATE (round-4 verdict item): the encode pipeline is DRAM-bound
     # past ~8 cores, and the host has multi-minute windows where aggregate
     # DRAM bandwidth collapses (measured 3.4-4.3 GB/s vs 11.6-12.3 GB/s
     # healthy) while every CPU probe reads clean — a ratio committed from
     # such a window measures the host, not the engine (BENCH_r04: 4.31x at
-    # membw 4.3). Protocol: (a) wait at run start until the probe reads
-    # healthy (bounded), (b) stamp every timed pair with its own membw
-    # reading, (c) commit the best pair among HEALTHY-stamped pairs,
-    # falling back to the global best only when no healthy pair exists
-    # (the artifact then says so via membw_agg_GBps_best_pair).
+    # membw 4.3). Protocol: (a) wait at run start until the shared gate
+    # (bench/membw_probe.membw_gate) reads TWO consecutive healthy probes
+    # (bounded — a single blip mid-throttle must not launch the run),
+    # (b) stamp every timed pair with its own membw reading, (c) commit
+    # the best pair among HEALTHY-stamped pairs, falling back to the
+    # global best only when no healthy pair exists (the artifact then
+    # says so via membw_agg_GBps_best_pair).
     membw_healthy = float(os.environ.get("SPARK_GRAFT_MEMBW_HEALTHY", "8.0"))
-
-    def membw_gate(threshold: float, max_wait: float = 180.0) -> list[float]:
-        readings = [aggregate_membw_gbps()]
-        t0 = time.time()
-        while readings[-1] < threshold and time.time() - t0 < max_wait:
-            time.sleep(10)
-            readings.append(aggregate_membw_gbps())
-        return readings
 
     with tempfile.TemporaryDirectory() as d:
         ref_write(f"{d}/warm")  # comparator warm-up (same JIT argument)
         shutil.rmtree(f"{d}/warm", ignore_errors=True)
         probe_best = min(window_probe() for _ in range(3))
-        gate = membw_gate(membw_healthy)
+        gate = membw_gate(membw_healthy, max_wait=180.0)
         extra["membw_gate_readings"] = gate
         extra["membw_agg_GBps_start"] = gate[-1]
         # the sampling budget starts AFTER the gate: waiting for a healthy

@@ -64,6 +64,47 @@ def mem_work(args):
     return time.time() - t0
 
 
+def aggregate_membw_gbps(n_proc: int = 8, reps: int = 4) -> float:
+    """8-process aggregate DRAM-stream bandwidth in GB/s.
+
+    The probe class that SEES the host's aggregate-throughput throttle
+    (cache-resident and single-stream probes read clean through it;
+    BENCH/BASELINE.md 2026-08-18). This is the ONE definition shared by
+    bench.py and bench/scaling.py — the 8.0 GB/s healthy threshold only
+    means the same thing across artifacts because the byte-traffic
+    accounting lives in exactly one place.
+    """
+    traffic = 64 * 1024 * 1024 * 2 * reps  # bytes per process: sum + scale
+    with mp.Pool(n_proc) as pool:
+        pool.map(mem_work, [(i, 1) for i in range(n_proc)])  # warm
+        t0 = time.time()
+        pool.map(mem_work, [(i, reps) for i in range(n_proc)])
+        wall = time.time() - t0
+    return round(n_proc * traffic / 1e9 / wall, 3)
+
+
+def membw_gate(threshold: float, max_wait: float) -> list[float]:
+    """Block until TWO consecutive probes read >= threshold (bounded).
+
+    A single healthy blip launched the 2026-08-19 throttled 1v4 run; two
+    consecutive readings ~5 s apart make a transient spike much less
+    likely to start a multi-minute measurement.  Returns all readings;
+    the caller stamps the artifact with them either way.
+    """
+    readings = [aggregate_membw_gbps()]
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        if (
+            len(readings) >= 2
+            and readings[-1] >= threshold
+            and readings[-2] >= threshold
+        ):
+            return readings
+        time.sleep(5)
+        readings.append(aggregate_membw_gbps())
+    return readings
+
+
 def main() -> None:
     out = {}
     for name, fn, reps in (("cpu", cpu_work, 2000), ("zstd", zstd_work, 30), ("mem", mem_work, 20)):

@@ -10,8 +10,9 @@ query (bit-identical id list) and then computed driver-side in numpy with
 the same rounding + tie-break, so the sweep costs one Spark job per
 (query, lane, config) instead of two.
 
-Usage: python bench/recall_pq.py [sf_dir] [--k K] [--queries N] [--json PATH]
-Prints one JSON document; --json also writes it to PATH.
+Usage: python bench/recall_pq.py [sf_dir] [--k=K] [--queries=N] [--json=PATH]
+(options are --name=value only). Prints one JSON document; --json= also
+writes it to PATH.
 """
 
 from __future__ import annotations
@@ -48,7 +49,16 @@ def main() -> None:
         train_pq_codebooks,
     )
 
+    known = ("--k=", "--queries=", "--json=")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Fail fast on space-separated option forms (`--json out.json` would
+    # silently become sf_dir='out.json') and on misspelled options.
+    bad = [a for a in sys.argv[1:] if a.startswith("--") and not a.startswith(known)]
+    if bad or len(args) > 1:
+        sys.exit(
+            f"unrecognized arguments {bad + args[1:]}; "
+            "usage: recall_pq.py [sf_dir] [--k=K] [--queries=N] [--json=PATH]"
+        )
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )

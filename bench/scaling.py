@@ -54,59 +54,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _mem_stream_work(args):
-    """DRAM-streaming worker (same shape as bench.py / bench/membw_probe.py;
-    module-level so multiprocessing can pickle it)."""
-    import numpy as np
-
-    n, reps = args
-    x = np.random.default_rng(n).integers(
-        0, 255, size=64 * 1024 * 1024 // 8, dtype=np.int64
-    )
-    t0 = time.time()
-    acc = 0
-    for _ in range(reps):
-        acc += int(x.sum())
-        y = x * 3
-        acc += int(y[0])
-    return time.time() - t0
-
-
-def aggregate_membw_gbps(n_proc: int = 8, reps: int = 4) -> float:
-    """8-process aggregate DRAM-stream bandwidth — the probe class that SEES
-    the host's aggregate-throughput throttle (cache-resident and single-
-    stream probes read clean through it; BENCH/BASELINE.md 2026-08-18)."""
-    import multiprocessing as mp
-
-    # traffic accounting and pool setup IDENTICAL to bench.py's probe so
-    # the 8.0 GB/s healthy threshold means the same thing in every artifact
-    traffic = 64 * 1024 * 1024 * 2 * reps  # bytes per process
-    with mp.Pool(n_proc) as pool:
-        pool.map(_mem_stream_work, [(i, 1) for i in range(n_proc)])  # warm
-        t0 = time.time()
-        pool.map(_mem_stream_work, [(i, reps) for i in range(n_proc)])
-        wall = time.time() - t0
-    return round(n_proc * traffic / 1e9 / wall, 3)
-
-
-def membw_gate(threshold: float, max_wait: float) -> list[float]:
-    """Block until TWO consecutive probes read >= threshold (bounded).
-
-    A single healthy blip launched the 2026-08-19 throttled 1v4 run; two
-    consecutive readings ~5 s apart make a transient spike much less
-    likely to start a multi-minute measurement."""
-    readings = [aggregate_membw_gbps()]
-    deadline = time.time() + max_wait
-    while time.time() < deadline:
-        if (
-            len(readings) >= 2
-            and readings[-1] >= threshold
-            and readings[-2] >= threshold
-        ):
-            return readings
-        time.sleep(5)
-        readings.append(aggregate_membw_gbps())
-    return readings
+# The DRAM probe (worker, aggregate-bandwidth measurement, and the
+# two-consecutive-healthy gate) lives in bench/membw_probe.py — ONE
+# definition, shared with bench.py, so the 8.0 GB/s healthy threshold
+# means the same thing in every committed artifact.  Imported by file
+# location because the root-level bench.py module shadows the name
+# `bench` for package imports.
+sys.path.insert(0, os.path.join(REPO, "bench"))
+from membw_probe import aggregate_membw_gbps, membw_gate  # noqa: E402
 
 
 def generate_input(path: str, n_rows: int) -> None:

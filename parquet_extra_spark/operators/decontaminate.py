@@ -94,7 +94,12 @@ def contamination_report(
     if method not in ("broadcast", "join", "set"):
         raise ValueError(f"unknown method {method!r}")
 
-    ev_ng = _exploded_ngrams(eval_df, id_col, text_col, n).select("_ng").distinct()
+    # The eval side needs no id column — its doc identity is irrelevant,
+    # only the distinct n-gram set matters — so eval sets loaded as a
+    # bare text column work.
+    ev_ng = eval_df.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_ng")
+    ).distinct()
     tr_ng = _exploded_ngrams(train, id_col, text_col, n)
 
     if method == "set":
@@ -167,7 +172,11 @@ def _set_probe_hits(
     ev_arr.sort()
 
     probe = tr_ng.select(F.col(id_col).alias("_id"), F.xxhash64("_ng").alias("_h"))
-    out_schema = "_id long, _n long"
+    # The probe's output id type must follow the caller's id column
+    # (string uuids are as common as bigints) — hardcoding long here
+    # would make Arrow reject every non-bigint id at runtime.
+    id_type = probe.schema["_id"].dataType.simpleString()
+    out_schema = f"_id {id_type}, _n long"
 
     def _probe(batches):
         for pdf in batches:

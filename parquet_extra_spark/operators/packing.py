@@ -77,7 +77,17 @@ def pack_by_cumsum(
         ),
         F.lit(n_buckets),
     ).cast("int")
-    w = Window.partitionBy("_bucket").orderBy(ordc[0], F.col(id_col))
+    # ROWS frame, not Spark's default RANGE frame: duplicate ids (same
+    # doc ingested twice) share identical (_ord, id) order keys, and a
+    # RANGE frame would make them peers — both rows would get the same
+    # cumsum including BOTH sizes, silently overlapping token ranges in
+    # one sequence. ROWS matches the DuckDB oracle's explicit
+    # ROWS UNBOUNDED PRECEDING.
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(ordc[0], F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(F.col(size_col)).over(w)
     out = (
         df.withColumn("_bucket", bucket)
@@ -124,6 +134,8 @@ def pack_greedy(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if not 1 <= n_buckets <= (1 << 20):
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
     ordc = _order_cols(id_col, salt)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
@@ -142,19 +154,42 @@ def pack_greedy(
         pdf = pdf.sort_values(["_ord", id_name], kind="mergesort").reset_index(
             drop=True
         )
-        open_seqs: list[int] = []  # remaining room per open sequence
-        assign: list[int] = []
         sizes = pdf[size_name].astype("int64").tolist()
+        # Exact first-fit in O(n log n) via a max-segment-tree over bin
+        # room (a linear scan of open bins is O(n^2) — hours per bucket
+        # at realistic 10^5-10^6 docs/bucket).  Leaves are potential
+        # bins, all starting at full budget; "open a new bin" falls out
+        # naturally as selecting the leftmost untouched leaf, so the
+        # assignment is bit-identical to the naive scan.
+        n = len(sizes)
+        tree_n = 1
+        while tree_n < max(n, 1):
+            tree_n <<= 1
+        room = [budget] * (2 * tree_n)
+        for i in range(tree_n + n, 2 * tree_n):
+            room[i] = -1  # leaves past n are unusable padding
+        for i in range(tree_n - 1, 0, -1):
+            room[i] = max(room[2 * i], room[2 * i + 1])
+        n_opened = 0
+        assign: list[int] = []
         for sz in sizes:
-            placed = -1
-            for i, room in enumerate(open_seqs):
-                if sz <= room:
-                    placed = i
-                    break
-            if placed < 0:
-                open_seqs.append(budget)
-                placed = len(open_seqs) - 1
-            open_seqs[placed] -= sz
+            if room[1] >= sz:
+                i = 1
+                while i < tree_n:  # descend to leftmost leaf with room
+                    i = 2 * i if room[2 * i] >= sz else 2 * i + 1
+                leaf = i
+            else:
+                # oversize document (> budget): singleton sequence at
+                # the frontier, room goes negative so it never refills
+                leaf = tree_n + n_opened
+            placed = leaf - tree_n
+            if placed == n_opened:
+                n_opened += 1
+            room[leaf] -= sz
+            i = leaf >> 1
+            while i:
+                room[i] = max(room[2 * i], room[2 * i + 1])
+                i >>= 1
             assign.append(placed)
         pdf["seq_local"] = pd.Series(assign, dtype="int64")
         totals = pdf.groupby("seq_local")[size_name].transform("sum")

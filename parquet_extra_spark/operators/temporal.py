@@ -61,7 +61,15 @@ def _bounded_hi(b_lo: Column, b_hi: Column, cap: int) -> Column:
     buckets.  Runs on the rows already flowing into the explode — no
     separate validation scan of the ranges table (the pre-scan cost a
     full extra action per call at 100 TB)."""
-    nb = b_hi - b_lo + F.lit(1)
+    # Bucket count in DOUBLE, not int64: corrupt sentinel bounds (lo
+    # near Long.MIN, hi near Long.MAX) would wrap an int64 subtraction
+    # negative and slip through the inverted-interval branch as a
+    # silent drop (or throw a raw overflow error under ANSI) instead of
+    # hitting the descriptive raise. Double keeps the sign of any
+    # span; its 2^53 rounding only blurs spans within a few ULPs of
+    # the lo==hi boundary at astronomically large magnitudes, where
+    # the BETWEEN recheck still keeps results exact.
+    nb = b_hi.cast("double") - b_lo.cast("double") + F.lit(1.0)
     # NULL bounds: nb is NULL, the guard passes b_hi through, and
     # explode(sequence(NULL, ...)) drops the row — same silent-skip the
     # eager max() guard gave NULL-bounded intervals.
@@ -71,13 +79,13 @@ def _bounded_hi(b_lo: Column, b_hi: Column, cap: int) -> Column:
     # DESCENDING |nb|-element array — a negative nb passes `nb <= cap`
     # and a single corrupt row (lo=1e9, hi=0) would explode ~1e9 rows
     # past the cap the guard exists to enforce.
-    return F.when(nb < F.lit(1), F.lit(None).cast("long")).when(
-        nb.isNull() | (nb <= F.lit(cap)), b_hi
+    return F.when(nb < F.lit(1.0), F.lit(None).cast("long")).when(
+        nb.isNull() | (nb <= F.lit(float(cap))), b_hi
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("an interval spans "),
-                nb.cast("string"),
+                nb.cast("decimal(38,0)").cast("string"),
                 F.lit(
                     f" buckets > max_buckets_per_range={cap};"
                     " raise bucket_width or the cap"

@@ -115,3 +115,39 @@ class TestNgrams:
     def test_word_ngrams_invalid_n(self):
         with pytest.raises(ValueError, match="n must be"):
             word_ngrams(F.lit("x"), 0)
+
+
+class TestFixRegressions:
+    def test_set_lane_string_ids(self, spark):
+        # the set lane's mapInPandas schema follows the id dtype —
+        # string uuids must work, not just bigints
+        train = spark.createDataFrame(
+            [("a", "one two three four five six"),
+             ("b", "totally novel words only here")],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame(
+            [("e", "one two three four five")], "doc_id string, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in contamination_report(train, ev, method="set").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in contamination_report(train, ev, method="broadcast").collect()
+        }
+        assert got == want
+        assert got["a"][1] is True and got["b"][1] is False
+
+    def test_eval_set_without_id_column(self, spark):
+        # eval doc identity is irrelevant; a bare text column must work
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon",)], "text string"
+        )
+        out = contamination_report(train, ev).collect()
+        assert out[0]["contaminated"] is True

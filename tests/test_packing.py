@@ -136,3 +136,58 @@ class TestGreedy:
     def test_invalid_budget(self, docs):
         with pytest.raises(ValueError, match="budget"):
             pack_greedy(docs, budget=-1)
+
+
+class TestFixRegressions:
+    def test_greedy_invalid_n_buckets(self, docs):
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_greedy(docs, budget=10, n_buckets=0)
+
+    def test_cumsum_duplicate_ids_get_distinct_offsets(self, spark):
+        # Duplicate ids share identical (_ord, id) order keys; a RANGE
+        # cumsum frame would make them peers (same _cum including BOTH
+        # sizes -> same overlapping offset). The ROWS frame gives each
+        # its own running total, matching the oracle's explicit
+        # ROWS UNBOUNDED PRECEDING.
+        df = spark.createDataFrame(
+            [(1, 300), (1, 300)], "doc_id long, n_tokens long"
+        )
+        out = pack_by_cumsum(df, budget=500, n_buckets=1)
+        offsets = sorted(r["seq_offset"] for r in out.collect())
+        assert offsets == [0, 300]
+
+    def test_greedy_matches_naive_first_fit(self, spark):
+        # The segment-tree placement must be bit-identical to the naive
+        # linear-scan first-fit it replaced (same assignments, just
+        # O(n log n) instead of O(n^2)).
+        import hashlib
+
+        budget, salt = 100, "pack"
+        sizes = [37, 64, 12, 99, 150, 1, 50, 50, 50, 33, 200, 5, 95, 5, 95]
+        rows = [(i, s) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_greedy(df, budget=budget, n_buckets=1)
+        got = {
+            r["doc_id"]: r["seq_id"] & ((1 << 40) - 1) for r in out.collect()
+        }
+        # driver-side replica: same md5 order, naive first-fit
+        order = sorted(
+            rows,
+            key=lambda t: (
+                hashlib.md5(f"{t[0]}\x1f{salt}".encode()).hexdigest(),
+                t[0],
+            ),
+        )
+        open_seqs, want = [], {}
+        for doc_id, sz in order:
+            placed = -1
+            for i, room in enumerate(open_seqs):
+                if sz <= room:
+                    placed = i
+                    break
+            if placed < 0:
+                open_seqs.append(budget)
+                placed = len(open_seqs) - 1
+            open_seqs[placed] -= sz
+            want[doc_id] = placed
+        assert got == want

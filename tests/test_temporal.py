@@ -290,6 +290,20 @@ class TestRangeJoin:
                           max_buckets_per_range=64, how="left")
         assert left.where(F.col("g") == "corrupt").count() == 0
 
+    def test_int64_overflow_span_raises_not_drops(self, spark):
+        """A span so large that int64 bucket subtraction would wrap
+        negative (saturated casts from corrupt sentinel bounds) must hit
+        the descriptive cap raise, not slip through the inverted-interval
+        silent-drop branch. The guard computes the bucket count in double
+        precisely so the sign survives."""
+        pts = spark.createDataFrame(pd.DataFrame({"p": [5.0]}))
+        rng = spark.createDataFrame(
+            pd.DataFrame({"lo": [-6.0e18], "hi": [6.0e18], "g": ["corrupt"]})
+        )
+        with pytest.raises(Exception, match="an interval spans"):
+            range_join(pts, rng, "p", "lo", "hi", bucket_width=1.0,
+                       max_buckets_per_range=64).count()
+
     def test_keyed(self, spark):
         pts = spark.createDataFrame(
             pd.DataFrame({"k": [1, 2], "p": [5.0, 5.0]})
