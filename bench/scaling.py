@@ -94,11 +94,20 @@ def run_level(cpus: int, input_path: str, rounds: int) -> dict:
         # artifact); with it, both levels are measured under the same
         # per-worker conditions.
         cmd = ["taskset", "-c", f"0-{cpus + 1}"] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3000, cwd=REPO,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # A host throttle window can stretch a level-1 job past any sane
+    # bound (2026-08-20: single-core memcpy measured 0.16 GB/s and the
+    # first 4M-row level-1 job was still running at 35 min).  A timeout
+    # must not abort the whole interleaved protocol — the run is simply
+    # recorded as failed and the flanking membw stamp tells the story.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_SCALING_RUN_TIMEOUT", "3000"))
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as exc:
+        return {"gbps": 0.0, "seconds": None, "error": type(exc).__name__}
 
 
 def main() -> None:
@@ -126,18 +135,37 @@ def main() -> None:
         # after-only stamp lets a throttle that lifts at the boundary
         # classify a poisoned run healthy (bench.py round-5 protocol).
         prev_probe = aggregate_membw_gbps(reps=2)
+        # Early abort: once TWO consecutive runs are stamped below half
+        # the healthy threshold the host is in a deep throttle window and
+        # every further interleave round is wasted wall-clock — the
+        # artifact is written with `aborted_throttle` so it reads as a
+        # disclosed attempt, never as a clean anchor.
+        abort_below = float(
+            os.environ.get("SPARK_GRAFT_SCALING_ABORT_BELOW", membw_healthy / 2)
+        )
+        consecutive_bad = 0
+        aborted = False
         for _ in range(repeat):  # interleaved: throttling windows hit both levels
             for c in levels:
                 runs.append((c, run_level(c, inp, rounds)))
                 post_probe = aggregate_membw_gbps(reps=2)
                 stamps.append(min(prev_probe, post_probe))
                 prev_probe = post_probe
+                consecutive_bad = (
+                    consecutive_bad + 1 if stamps[-1] < abort_below else 0
+                )
+            if consecutive_bad >= 2:
+                aborted = True
+                break
 
     def best_for(c: int, healthy_only: bool) -> dict | None:
         pool = [
             r
             for (lc, r), bw in zip(runs, stamps)
-            if lc == c and (not healthy_only or bw >= membw_healthy)
+            if lc == c
+            and r["gbps"] > 0.0
+            and not r.get("error")
+            and (not healthy_only or bw >= membw_healthy)
         ]
         return max(pool, key=lambda r: r["gbps"]) if pool else None
 
@@ -149,6 +177,24 @@ def main() -> None:
         else {c: best_for(c, False) for c in levels}
     )
     lo, hi = best[levels[0]], best[levels[1]]
+    if lo is None or hi is None:
+        # every run at one level failed (timeout/crash) — emit a
+        # diagnostic summary instead of dividing by a missing best.
+        summary = {
+            "metric": "encode_scaling_efficiency",
+            "value": None,
+            "unit": "ratio",
+            "levels": best,
+            "target": 0.8,
+            "membw_gate_readings": gate,
+            "run_membw_GBps": stamps,
+            "membw_healthy_threshold": membw_healthy,
+            "healthy_selection": False,
+            "aborted_throttle": aborted,
+            "runs": [{"level": lc, **r} for lc, r in runs],
+        }
+        print(json.dumps(summary))
+        sys.exit(1)
     speedup = hi["gbps"] / lo["gbps"]
     efficiency = speedup / (levels[1] / levels[0])
     summary = {
@@ -162,6 +208,7 @@ def main() -> None:
         "run_membw_GBps": stamps,
         "membw_healthy_threshold": membw_healthy,
         "healthy_selection": healthy_selection,
+        "aborted_throttle": aborted,
     }
     taskset = os.environ.get("SPARK_GRAFT_SCALING_TASKSET") == "1"
     summary["taskset"] = taskset
@@ -204,7 +251,14 @@ def main() -> None:
             f"(ideal {levels[1] // levels[0]}x)\n"
             f"- scaling efficiency: **{efficiency:.3f}** (target >= 0.8)\n"
             f"- selection: {'per-level best among HEALTHY-stamped runs' if healthy_selection else 'GLOBAL best fallback — no healthy-stamped run at one or both levels; read the ratio as environment-dominated'}\n"
-            f"- membw gate (2 consecutive >= {membw_healthy} GB/s to start): "
+            + (
+                "- **ABORTED EARLY**: two consecutive runs stamped below "
+                f"{abort_below} GB/s — deep host throttle; this artifact "
+                "is a disclosed attempt, not a clean anchor\n"
+                if aborted
+                else ""
+            )
+            + f"- membw gate (2 consecutive >= {membw_healthy} GB/s to start): "
             f"{gate}\n"
             f"- compression: encoded/raw = "
             f"{hi['encoded_bytes'] / hi['raw_bytes']:.4f}\n"
