@@ -315,6 +315,38 @@ def main() -> None:
     enc_bytes = chunks.agg(F.sum("encoded_bytes")).collect()[0][0]
     extra["encoded_vs_parquet_zstd"] = round(enc_bytes / pq_bytes, 4)
 
+    # Exchange share, measured directly: the exchange-free lane
+    # (assume_clustered=True — input already laid out by the clustering
+    # key, e.g. an Iceberg table partitioned by (repo, lang)) vs the
+    # default lane on the SAME pre-clustered parquet source, interleaved
+    # pairs in the same window. The delta is the cost of the one
+    # clustering shuffle the default plan pays — at 100 TB, the choice
+    # between re-shuffling the corpus and not touching the network.
+    with tempfile.TemporaryDirectory() as d2:
+        src = f"{d2}/clustered"
+        (
+            corpus.repartition(cpus * 4, "repo", "lang")
+            .write.option("compression", "zstd")
+            .parquet(src)
+        )
+        pre = spark.read.parquet(src)
+        pre_kwargs = {k: v for k, v in _ENC.items() if k != "num_partitions"}
+        pes.encode(pre, assume_clustered=True, **pre_kwargs).count()  # warm
+        _pc_pairs = []
+        for _ in range(2):
+            t0 = time.time()
+            pes.encode(pre, assume_clustered=True, **pre_kwargs).count()
+            nx = round(time.time() - t0, 3)
+            t0 = time.time()
+            pes.encode(pre, **_ENC).count()
+            dx = round(time.time() - t0, 3)
+            _pc_pairs.append((nx, dx))
+        nx, dx = min(_pc_pairs, key=lambda p: p[0] + p[1])
+        extra["encode_preclustered_sec"] = nx
+        extra["encode_clustered_default_sec"] = dx
+        extra["encode_preclustered_vs_default"] = round(nx / dx, 4)
+        extra["encode_preclustered_pairs"] = _pc_pairs
+
     # Every remaining query is PAIRED with a window probe (round-3 gap:
     # only encode/parquet were paired, so a throttled window read as a
     # per-query regression — r3's committed artifact ran at probes

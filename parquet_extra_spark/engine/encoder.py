@@ -199,11 +199,29 @@ def _make_encode_fn(
     required: set[str] | None = None,
     bloom_cols: set[str] | None = None,
     trigram_cols: set[str] | None = None,
+    per_task_uid: bool = False,
 ):
     schema_fp = schema_fingerprint(display or columns, uid_namespace)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
+
+        # Exchange-free lane (assume_clustered): without the unit
+        # repartition, rows of one (bucket, salt) unit can land in MANY
+        # tasks, and each task restarts seq at 0 for the units it sees —
+        # chunk_uid(part_key, salt, seq, ns) would collide across tasks.
+        # Suffixing the uid namespace with the task's partition id keeps
+        # ids unique (schema_fp stays the BASE namespace's fingerprint:
+        # all chunks of this encode remain one schema family for the
+        # decoder's structural check). Deterministic across retries: a
+        # re-executed task has the same partitionId over the same rows.
+        eff_ns = uid_namespace
+        if per_task_uid:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc is not None:
+                eff_ns = f"{uid_namespace}#task{tc.partitionId()}"
 
         # Per-(bucket, salt) buffers: the exchange hash-partitions rows on
         # the unit key but rows of a unit arrive INTERLEAVED across input
@@ -292,7 +310,7 @@ def _make_encode_fn(
                 table = combined
             return _chunk_rows_batch(
                 f"b{bucket}", salt, seq, table, columns, dtypes, codec, memo,
-                sort_cols=None, uid_namespace=uid_namespace,
+                sort_cols=None, uid_namespace=eff_ns,
                 schema_fp=schema_fp, display=display, required=required,
                 bloom_cols=bloom_cols, trigram_cols=trigram_cols,
             )
@@ -471,6 +489,7 @@ def encode(
     unit_sort: bool = False,
     bloom_cols: list[str] | None = None,
     trigram_cols: list[str] | None = None,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Encode every column of ``df`` into the chunk table.
 
@@ -519,6 +538,27 @@ def encode(
         nullable=False are enforced AT WRITE TIME — a null in a required
         column aborts the encode with ChunkEncodeError, the reference's
         checkSize contract (Schema.java:95-128).
+    assume_clustered: zero-shuffle lane for input whose physical layout
+        ALREADY groups the clustering key — an Iceberg/Hive table
+        partitioned by (repo, lang), a bucketed write, or a re-encode of
+        data the engine itself clustered. Skips the unit repartition
+        entirely (the single Exchange of the default plan, and the
+        dominant phase of encode wall time — BENCH/BASELINE.md phase
+        decomposition), reading source splits straight into the encode
+        UDF. At 100 TB this is the difference between shuffling the
+        corpus once more and not touching the network at all.
+
+        CORRECTNESS never depends on the assumption: bucket/salt are
+        computed per row as usual, chunk ids stay globally unique (the
+        uid namespace gains a per-task suffix, since one unit's rows may
+        now span tasks), and decode is layout-free. What the assumption
+        buys is chunk QUALITY — on genuinely clustered input, chunks are
+        as dense and their [min,max]/membership stats as selective as on
+        the default lane; on UNclustered input this lane still round-trips
+        exactly but emits more, less-prunable chunks (every open unit per
+        task buffers toward chunk_rows, so interleaved keys fragment).
+        Unit-granular resume (encode_to) composes safely: run commits are
+        atomic, and unit identity (part_key, salt) is layout-independent.
     """
     from .schema import validate_columns
 
@@ -575,20 +615,27 @@ def encode(
         s_of[salt_col] if salt_col else None,
     )
     work = work0.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
-    # 4 tasks per core: (bucket, salt) units hash unevenly (a mega-repo's
-    # units are ~10x an average unit), so 1 task/core leaves a straggler
-    # tail that caps scaling efficiency; finer tasks let the scheduler
-    # re-balance — the same tasks-per-slot rule used on real clusters.
-    n_part = num_partitions or spark.sparkContext.defaultParallelism * 4
-    # ONE exchange, NO JVM sort. Unit contiguity is restored Python-side in
-    # encode_fn (per-unit Arrow buffers): a JVM sortWithinPartitions on the
-    # unit keys — even int-only — buffers and re-serializes every task's
-    # full input through UnsafeExternalSorter before the Arrow conversion,
-    # a whole extra pass over the wide content bytes. Value ordering for
-    # RLE happens columnar *inside each chunk* (_sort_table); row order
-    # across chunks of a unit carries no information (chunk stats and
-    # decode are order-free).
-    work = work.repartition(n_part, _BUCKET, _SALT)
+    if assume_clustered:
+        if num_partitions is not None:
+            raise ValueError(
+                "assume_clustered=True keeps the source's own partitioning;"
+                " num_partitions cannot apply without the exchange it controls"
+            )
+    else:
+        # 4 tasks per core: (bucket, salt) units hash unevenly (a mega-repo's
+        # units are ~10x an average unit), so 1 task/core leaves a straggler
+        # tail that caps scaling efficiency; finer tasks let the scheduler
+        # re-balance — the same tasks-per-slot rule used on real clusters.
+        n_part = num_partitions or spark.sparkContext.defaultParallelism * 4
+        # ONE exchange, NO JVM sort. Unit contiguity is restored Python-side in
+        # encode_fn (per-unit Arrow buffers): a JVM sortWithinPartitions on the
+        # unit keys — even int-only — buffers and re-serializes every task's
+        # full input through UnsafeExternalSorter before the Arrow conversion,
+        # a whole extra pass over the wide content bytes. Value ordering for
+        # RLE happens columnar *inside each chunk* (_sort_table); row order
+        # across chunks of a unit carries no information (chunk stats and
+        # decode are order-free).
+        work = work.repartition(n_part, _BUCKET, _SALT)
 
     chunk_sort = [s_of[c] for c in list(partition_cols) + list(sort_cols or [])]
     if unit_sort and chunk_sort:
@@ -601,5 +648,6 @@ def encode(
                          display=columns,
                          required={s_of[c] for c in required_names} or None,
                          bloom_cols={s_of[c] for c in bloom_set} or None,
-                         trigram_cols={s_of[c] for c in trigram_set} or None)
+                         trigram_cols={s_of[c] for c in trigram_set} or None,
+                         per_task_uid=assume_clustered)
     return work.mapInArrow(fn, schema=CHUNK_SPARK_SCHEMA)
