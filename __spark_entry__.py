@@ -1500,6 +1500,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "seq_id", "seq_offset")
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: down-sample languages to a 50/30/20
+    en/fr/zh target. Fractions derive from ONE |domains|-row aggregate
+    (K = min(mass/target); binding domain keeps 1.0); membership is the
+    md5-bucket function of doc_id, so the whole mixture — fractions AND
+    per-row keeps — is reproduced bit-identically by the DuckDB CTE
+    oracle. Corpus-side the plan is one map-only filter: no shuffle."""
+    from parquet_extra_spark.operators.mixing import mix_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = mix_corpus(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.3, "zh": 0.2}, salt="mx"
+    )
+    return out.select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the correctness driver checks the FIRST 50 entries
     # only.  Newest / least-verified queries go first (round-4 temporal/
@@ -1608,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_stats": q_encoded_group_stats,
         "encoded_group_sum_float": q_encoded_group_sum_float,
         "encoded_group_sum_multi": q_encoded_group_sum_multi,
+        "mix_corpus_docs": q_mix_corpus,
     }
 
 
@@ -2538,5 +2555,21 @@ def oracle_sql() -> dict[str, str]:
             " WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,"
             " lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum"
             " FROM s GROUP BY 1, 2"
+        ),
+        # fractions derived IN SQL with the exact expression order of
+        # mix_fractions (K = min(m/t); frac = least(1, K*t/m); bound =
+        # floor(frac*10000)) so the data-dependent bounds match the
+        # engine's bit-for-bit at any scale factor
+        "mix_corpus_docs": (
+            "WITH t(d, t) AS (VALUES ('en', 0.5), ('fr', 0.3), ('zh', 0.2)),"
+            " mass AS (SELECT lang AS d, count(*)::DOUBLE AS m"
+            "  FROM documents WHERE lang IN ('en','fr','zh') GROUP BY 1),"
+            " k AS (SELECT min(m / t) AS k FROM mass JOIN t USING (d)),"
+            " f AS (SELECT d, floor(least(1.0, (SELECT k FROM k) * t / m)"
+            "  * 10000)::BIGINT AS bound FROM t JOIN mass USING (d))"
+            " SELECT doc_id, lang FROM documents docs"
+            " JOIN f ON docs.lang = f.d"
+            " WHERE (('0x' || substr(md5(cast(doc_id AS VARCHAR) || chr(31)"
+            " || 'mx'), 1, 15))::BIGINT % 10000) < f.bound"
         ),
     }

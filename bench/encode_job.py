@@ -35,6 +35,9 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # align with bench.py's tuned pipe: one Arrow batch ~= one chunk
+        # (bench/conf_probe.py run table; same setting in build_spark)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "40g"))
         .config("spark.ui.enabled", "false")
     )

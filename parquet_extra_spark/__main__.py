@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="0 = size from the skew plan (encode_plan)")
     enc.add_argument("--bloom-cols", default=None)
     enc.add_argument("--unit-sort", action="store_true")
+    enc.add_argument(
+        "--assume-clustered", action="store_true",
+        help="zero-shuffle lane: the input layout already groups the"
+        " partition cols (e.g. an Iceberg table partitioned by them)",
+    )
     _add_common(enc)
 
     dec = sub.add_parser("decode", help="decode a chunk table back to parquet")
@@ -158,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
             n_salts=n_salts,
             bloom_cols=_cols(args.bloom_cols),
             unit_sort=args.unit_sort,
+            assume_clustered=args.assume_clustered,
         )
         out = {"cmd": "encode", **summary, "n_salts": n_salts}
         if plan:

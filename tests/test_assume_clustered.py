@@ -132,3 +132,19 @@ def test_encode_to_resume_composes(spark, tmp_path, corpus):
     assert s2["rows_skipped_resume"] == corpus.count()
     dec = pes.decode(pes.read_chunks(spark, out))
     assert pes.roundtrip_ok(corpus, dec)
+
+
+def test_hive_partitioned_source(spark, tmp_path, corpus):
+    """The motivating layout: a hive/Iceberg-style table partitioned by
+    the clustering key (lang=.../ dirs). Each file split holds exactly
+    one partition value, so assume_clustered gets maximal chunk density
+    with a zero-Exchange plan — and partition-column values recovered
+    from directory names round-trip like any other column."""
+    src = str(tmp_path / "hive")
+    corpus.write.partitionBy("lang").parquet(src)
+    df = spark.read.parquet(src).select(*corpus.columns)  # restore order
+    chunks = pes.encode(
+        df, partition_cols=["lang"], chunk_rows=1024, assume_clustered=True
+    )
+    assert plan_of(chunks).count("Exchange") == 0
+    assert pes.roundtrip_ok(corpus, pes.decode(chunks))

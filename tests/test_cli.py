@@ -119,3 +119,21 @@ def test_cli_refresh_continuous_aggregate(capsys, dirs, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cli_encode_assume_clustered(capsys, dirs, tmp_path):
+    """The zero-shuffle lane is reachable from the spark-submit CLI and
+    verify passes against the original input."""
+    enc2 = str(tmp_path / "enc_ac")
+    rc, enc = _run(
+        capsys,
+        [
+            "encode", "--input", dirs["src"], "--out", enc2,
+            "--partition-cols", "lang", "--chunk-rows", "256",
+            "--n-buckets", "4", "--n-salts", "2", "--assume-clustered",
+        ],
+    )
+    assert rc == 0 and enc["units_total"] > 0
+
+    rc, ver = _run(capsys, ["verify", "--input", dirs["src"], "--enc", enc2])
+    assert rc == 0 and ver["roundtrip_ok"] is True
