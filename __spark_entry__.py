@@ -1565,7 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_refine_chunks": q_ivfpq_refine_chunks,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
+        "mix_corpus_docs": q_mix_corpus,
         "pipeline_prepare": q_pipeline_prepare,
         # --- curated always-verified core (filling the window to 50) ---
         "roundtrip_sha": q_roundtrip_sha,
@@ -1624,7 +1624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_group_stats": q_encoded_group_stats,
         "encoded_group_sum_float": q_encoded_group_sum_float,
         "encoded_group_sum_multi": q_encoded_group_sum_multi,
-        "mix_corpus_docs": q_mix_corpus,
+        # weighted_sample rotated out for mix_corpus_docs (round 5): the
+        # weighted threshold is a one-line variant of the same md5-bucket
+        # membership mix_corpus_docs exercises WITH data-dependent
+        # fraction derivation on top; replica+pytest keep covering it
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -111,7 +111,9 @@ def test_driver_window_contains_the_risky_queries():
     ivfpq_refine_chunks landed), roundtrip_full and datasource_projection
     (when decontaminate_docs / pack_sequences landed — roundtrip_sha
     value-checks the same rows, the poisoned-payload test pins source
-    projection pruning)."""
+    projection pruning), weighted_sample (when mix_corpus_docs landed —
+    the weighted threshold is a one-line variant of the md5-bucket
+    membership the mixing query exercises with derived fractions)."""
     import __spark_entry__ as e
 
     names = list(e.queries())
@@ -122,7 +124,7 @@ def test_driver_window_contains_the_risky_queries():
         "ivfpq_refine_chunks",
         "asof_attribution", "asof_broadcast", "range_join_bands",
         "interval_overlap", "sessionize_events", "gap_fill_hourly",
-        "hash_split", "stratified_sample", "weighted_sample",
+        "hash_split", "stratified_sample", "mix_corpus_docs",
         "trigram_pushdown", "continuous_aggregate", "encoded_dim_join",
         "encoded_topk", "encoded_quantiles", "pipeline_prepare",
         "decontaminate_docs", "pack_sequences",
