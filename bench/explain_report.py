@@ -56,6 +56,27 @@ def main() -> None:
         formatted(chunks),
     ))
 
+    # exchange-free lane: a hive-partitioned source (the Iceberg-table
+    # layout) encodes with ZERO Exchange — source splits stream straight
+    # into the encode UDF
+    import tempfile
+
+    hive_dir = tempfile.mkdtemp(prefix="explain_hive_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(hive_dir)
+    hive_src = spark.read.parquet(hive_dir).select(*docs.columns)
+    ac_kw = {k: v for k, v in enc_kw.items() if k != "num_partitions"}
+    ac_chunks = pes.encode(hive_src, assume_clustered=True, **ac_kw)
+    ac_plan = formatted(ac_chunks)
+    assert "Exchange" not in ac_plan, "assume_clustered plan must not shuffle"
+    sections.append((
+        "encode assume_clustered (hive-partitioned source)",
+        "ZERO Exchange: the source layout already groups the clustering "
+        "key (lang=... dirs), so the plan reads file splits straight into "
+        "the Arrow encode — the 100-TB lane for partitioned Iceberg "
+        "tables and engine re-encodes.",
+        ac_plan,
+    ))
+
     sections.append((
         "decode with projection (doc_id, lang)",
         "Chunk rows of unrequested columns are filtered out BEFORE decode "
