@@ -2561,7 +2561,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM s GROUP BY 1, 2"
         ),
         # fractions derived IN SQL with the exact expression order of
-        # mix_fractions (K = min(m/t); frac = least(1, K*t/m); bound =
+        # mix_fractions (K = min(m/t); a binding domain — m/t = K, the
+        # same double comparison — keeps exactly 1.0 since (m/t)*t/m is
+        # not IEEE-guaranteed 1.0; others least(1, K*t/m); bound =
         # floor(frac*10000)) so the data-dependent bounds match the
         # engine's bit-for-bit at any scale factor
         "mix_corpus_docs": (
@@ -2569,7 +2571,8 @@ def oracle_sql() -> dict[str, str]:
             " mass AS (SELECT lang AS d, count(*)::DOUBLE AS m"
             "  FROM documents WHERE lang IN ('en','fr','zh') GROUP BY 1),"
             " k AS (SELECT min(m / t) AS k FROM mass JOIN t USING (d)),"
-            " f AS (SELECT d, floor(least(1.0, (SELECT k FROM k) * t / m)"
+            " f AS (SELECT d, floor((CASE WHEN m / t = (SELECT k FROM k)"
+            "  THEN 1.0 ELSE least(1.0, (SELECT k FROM k) * t / m) END)"
             "  * 10000)::BIGINT AS bound FROM t JOIN mass USING (d))"
             " SELECT doc_id, lang FROM documents docs"
             " JOIN f ON docs.lang = f.d"

@@ -59,15 +59,19 @@ def main() -> None:
     # exchange-free lane: a hive-partitioned source (the Iceberg-table
     # layout) encodes with ZERO Exchange — source splits stream straight
     # into the encode UDF
+    import shutil
     import tempfile
 
     hive_dir = tempfile.mkdtemp(prefix="explain_hive_")
-    docs.write.mode("overwrite").partitionBy("lang").parquet(hive_dir)
-    hive_src = spark.read.parquet(hive_dir).select(*docs.columns)
-    ac_kw = {k: v for k, v in enc_kw.items() if k != "num_partitions"}
-    ac_chunks = pes.encode(hive_src, assume_clustered=True, **ac_kw)
-    ac_plan = formatted(ac_chunks)
-    assert "Exchange" not in ac_plan, "assume_clustered plan must not shuffle"
+    try:
+        docs.write.mode("overwrite").partitionBy("lang").parquet(hive_dir)
+        hive_src = spark.read.parquet(hive_dir).select(*docs.columns)
+        ac_kw = {k: v for k, v in enc_kw.items() if k != "num_partitions"}
+        ac_chunks = pes.encode(hive_src, assume_clustered=True, **ac_kw)
+        ac_plan = formatted(ac_chunks)
+        assert "Exchange" not in ac_plan, "assume_clustered plan must not shuffle"
+    finally:
+        shutil.rmtree(hive_dir, ignore_errors=True)
     sections.append((
         "encode assume_clustered (hive-partitioned source)",
         "ZERO Exchange: the source layout already groups the clustering "

@@ -616,7 +616,10 @@ def encode(
     )
     work = work0.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
     if assume_clustered:
-        if num_partitions is not None:
+        # falsy num_partitions (None or the CLI's 0 = auto sentinel) is
+        # "no partition control requested" — only an explicit count
+        # conflicts with keeping the source's own partitioning
+        if num_partitions:
             raise ValueError(
                 "assume_clustered=True keeps the source's own partitioning;"
                 " num_partitions cannot apply without the exchange it controls"

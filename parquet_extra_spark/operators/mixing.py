@@ -34,7 +34,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .sampling import _BUCKETS, hash_bucket
+from .sampling import _BUCKETS, bucket_bound_filter
 
 __all__ = ["mix_fractions", "mix_corpus"]
 
@@ -51,8 +51,14 @@ def mix_fractions(
     (0 < scale <= 1); samples stay NESTED across scales.
 
     Expression order (mirrored by SQL oracles, keep in sync):
-    ``K = min_d(mass_d / target_d)``, then
-    ``frac_d = min(1.0, scale * K * target_d / mass_d)``.
+    ``K = min_d(mass_d / target_d)``; a BINDING domain (one whose
+    ``mass_d / target_d == K`` — the same double comparison in SQL)
+    keeps base fraction exactly 1.0, everything else
+    ``min(1.0, K * target_d / mass_d)``; then ``frac_d = min(1.0,
+    scale * base_d)``.  The explicit binding-domain case exists because
+    ``(m/t) * t / m`` is not IEEE-guaranteed to be 1.0 — without it a
+    0.9999999999999999 base would floor to bucket bound 9999 and
+    silently drop ~0.01% of the scarcest domain.
     """
     if not targets:
         raise ValueError("targets must be non-empty")
@@ -70,9 +76,13 @@ def mix_fractions(
         if t <= 0:
             raise ValueError(f"target share for {d!r} must be > 0, got {t}")
     k = min(masses[d] / targets[d] for d in targets)
-    return {
-        d: min(1.0, scale * k * targets[d] / masses[d]) for d in targets
+    base = {
+        d: 1.0
+        if masses[d] / targets[d] == k
+        else min(1.0, k * targets[d] / masses[d])
+        for d in targets
     }
+    return {d: min(1.0, scale * base[d]) for d in targets}
 
 
 def mix_corpus(
@@ -110,14 +120,13 @@ def mix_corpus(
         .agg(w.cast("double").alias("m"))
         .collect()
     )
-    masses = {r[0]: r[1] for r in rows}
+    # r[1] is None when every row of a listed domain has a NULL weight —
+    # treat that as zero mass so mix_fractions raises its ValueError
+    # instead of a TypeError
+    masses = {r[0]: (r[1] or 0) for r in rows}
     for d in targets:
         masses.setdefault(d, 0)
     fracs = mix_fractions(masses, targets, scale)
-    b = hash_bucket(id_col, salt)
-    bound = F.lit(-1)  # unlisted / NULL domain: bucket < -1 never holds
-    for d, f in fracs.items():
-        bound = F.when(
-            F.col(domain_col) == F.lit(d), F.lit(math.floor(f * _BUCKETS))
-        ).otherwise(bound)
-    return df.where(b < bound)
+    bounds = {d: math.floor(f * _BUCKETS) for d, f in fracs.items()}
+    # default_bound=0: unlisted / NULL domains never keep (bucket >= 0)
+    return bucket_bound_filter(df, id_col, domain_col, bounds, salt=salt)

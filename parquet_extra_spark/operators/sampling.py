@@ -153,10 +153,30 @@ def stratified_hash_sample(
             raise ValueError(f"fraction for {v!r} must be in [0,1], got {f}")
     if not 0.0 <= default <= 1.0:
         raise ValueError(f"default must be in [0,1], got {default}")
+    bounds = {v: int(round(f * _BUCKETS)) for v, f in fractions.items()}
+    return bucket_bound_filter(
+        df, id_col, strata_col, bounds,
+        default_bound=int(round(default * _BUCKETS)), salt=salt,
+    )
+
+
+def bucket_bound_filter(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    bounds: dict[str, int],
+    *,
+    default_bound: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Shared membership application for every per-stratum sampler:
+    keep a row iff ``hash_bucket(id) < bounds[stratum]`` (integer bucket
+    bounds in [0, 10000]; unlisted/NULL strata get ``default_bound``).
+    Callers own the bound DERIVATION — int(round(f*B)) for the sampling
+    family, floor for the mixing family's SQL-oracle parity — so the
+    when-chain and NULL semantics live in exactly one place."""
     b = hash_bucket(id_col, salt)
-    bound = F.lit(int(round(default * _BUCKETS)))
-    for v, f in fractions.items():
-        bound = F.when(
-            F.col(strata_col) == F.lit(v), F.lit(int(round(f * _BUCKETS)))
-        ).otherwise(bound)
+    bound = F.lit(default_bound)
+    for v, k in bounds.items():
+        bound = F.when(F.col(strata_col) == F.lit(v), F.lit(k)).otherwise(bound)
     return df.where(b < bound)

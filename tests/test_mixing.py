@@ -41,6 +41,17 @@ class TestFractions:
         for d in TARGETS:
             assert half[d] == pytest.approx(full[d] * 0.5)
 
+    def test_binding_domain_exactly_one_despite_fp(self):
+        """(m/t)*t/m is not IEEE-guaranteed 1.0 (e.g. m=3, t=0.3 gives
+        0.9999999999999999); the binding domain must still keep EXACTLY
+        1.0 or floor(frac*10000)=9999 silently drops bucket-9999 rows."""
+        masses = {"a": 1579241, "b": 10_000_000}
+        t = {"a": 0.7, "b": 0.3}
+        assert (masses["a"] / t["a"]) * t["a"] / masses["a"] != 1.0  # the trap
+        f = mix_fractions(masses, t)
+        assert f["a"] == 1.0
+        assert math.floor(f["a"] * _BUCKETS) == _BUCKETS
+
     def test_rejects_bad_inputs(self):
         with pytest.raises(ValueError, match="sum to 1"):
             mix_fractions({"a": 1}, {"a": 0.5})
@@ -125,6 +136,16 @@ class TestMixCorpus:
             == docs.filter(F.col("lang") == d).count()
         )
 
+    def test_all_null_weight_domain_raises_value_error(self, spark):
+        """A listed domain whose weight column is entirely NULL is zero
+        mass — the designed ValueError, not a TypeError on None."""
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", None), (3, "b", None)],
+            "id long, dom string, w int",
+        )
+        with pytest.raises(ValueError, match="zero mass"):
+            mix_corpus(df, "id", "dom", {"a": 0.5, "b": 0.5}, weight_col="w")
+
     def test_duckdb_replica_bit_identical(self, docs, sf_dir):
         """The audit contract: a pure-SQL DuckDB replica of the fraction
         CTE + md5 bucket keeps EXACTLY the same doc_ids."""
@@ -139,8 +160,9 @@ class TestMixCorpus:
         ),
         k AS (SELECT min(m / t) AS k FROM mass JOIN t USING (d)),
         f AS (
-          SELECT d, floor(least(1.0, (SELECT k FROM k) * t / m) * 10000)::BIGINT
-                 AS bound
+          SELECT d, floor((CASE WHEN m / t = (SELECT k FROM k) THEN 1.0
+                 ELSE least(1.0, (SELECT k FROM k) * t / m) END)
+                 * 10000)::BIGINT AS bound
           FROM t JOIN mass USING (d)
         )
         SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') docs
