@@ -329,18 +329,42 @@ def main() -> None:
             .write.option("compression", "zstd")
             .parquet(src)
         )
-        pre = spark.read.parquet(src)
-        pre_kwargs = {k: v for k, v in _ENC.items() if k != "num_partitions"}
-        pes.encode(pre, assume_clustered=True, **pre_kwargs).count()  # warm
-        _pc_pairs = []
-        for _ in range(2):
-            t0 = time.time()
-            pes.encode(pre, assume_clustered=True, **pre_kwargs).count()
-            nx = round(time.time() - t0, 3)
-            t0 = time.time()
-            pes.encode(pre, **_ENC).count()
-            dx = round(time.time() - t0, 3)
-            _pc_pairs.append((nx, dx))
+        # The lane's parallelism = source SPLIT count. A 100-TB corpus
+        # has thousands of splits; this 1M-row stand-in compresses to
+        # ~270 MB, which the default 128 MB maxPartitionBytes packs into
+        # 2-3 splits — the lane would run on 3 cores while the default
+        # lane's exchange re-spreads to 128 tasks (a first run of this
+        # probe recorded exactly that: 26.4 s vs 3.5 s). Size splits to
+        # the corpus so the probe measures the exchange, not an
+        # unrepresentative split-packing artifact.
+        src_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(1_048_576, src_bytes // (cpus * 4))),
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            pre = spark.read.parquet(src)
+            pre_kwargs = {k: v for k, v in _ENC.items() if k != "num_partitions"}
+            pes.encode(pre, assume_clustered=True, **pre_kwargs).count()  # warm
+            _pc_pairs = []
+            for _ in range(2):
+                t0 = time.time()
+                pes.encode(pre, assume_clustered=True, **pre_kwargs).count()
+                nx = round(time.time() - t0, 3)
+                t0 = time.time()
+                pes.encode(pre, **_ENC).count()
+                dx = round(time.time() - t0, 3)
+                _pc_pairs.append((nx, dx))
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_open)
         nx, dx = min(_pc_pairs, key=lambda p: p[0] + p[1])
         extra["encode_preclustered_sec"] = nx
         extra["encode_clustered_default_sec"] = dx

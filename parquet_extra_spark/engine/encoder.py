@@ -548,6 +548,15 @@ def encode(
         UDF. At 100 TB this is the difference between shuffling the
         corpus once more and not touching the network at all.
 
+        PARALLELISM equals the source's own split count — there is no
+        exchange to re-spread work. At 100 TB that's thousands of file
+        splits and a non-issue; on SMALL compressed sources Spark's
+        split packing (spark.sql.files.maxPartitionBytes, 128 MB
+        default) can collapse the scan to a handful of tasks and
+        serialize the encode. If the input is small relative to
+        maxPartitionBytes x cores, lower that conf (or skip this lane —
+        the exchange it avoids is cheap at that size anyway).
+
         CORRECTNESS never depends on the assumption: bucket/salt are
         computed per row as usual, chunk ids stay globally unique (the
         uid namespace gains a per-task suffix, since one unit's rows may
