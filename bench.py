@@ -324,8 +324,14 @@ def main() -> None:
     # between re-shuffling the corpus and not touching the network.
     with tempfile.TemporaryDirectory() as d2:
         src = f"{d2}/clustered"
+        # range distribution = the Iceberg write-distribution-mode=range
+        # layout for a table sorted/partitioned on (repo, lang): each
+        # file holds a contiguous slice of the key space (few groups per
+        # file), so the lane's per-task unit buffers stay dense. A HASH
+        # repartition here (the first version of this probe) scatters
+        # ~30 key groups into every file and fragments chunks ~90x.
         (
-            corpus.repartition(cpus * 4, "repo", "lang")
+            corpus.repartitionByRange(cpus * 4, "repo", "lang")
             .write.option("compression", "zstd")
             .parquet(src)
         )

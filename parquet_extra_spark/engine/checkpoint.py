@@ -121,7 +121,11 @@ def encode_to(
         df.columns,
         encode_kwargs.get("partition_cols"),
         encode_kwargs.get("n_buckets", 64),
-        encode_kwargs.get("n_salts", 8),
+        # the exchange-free lane forces salt 0 (encoder.encode:
+        # salting only spreads the exchange it doesn't have), so the
+        # resume-side unit identity must collapse the same way or a
+        # replay would re-encode every row whose salt hash is nonzero
+        1 if encode_kwargs.get("assume_clustered") else encode_kwargs.get("n_salts", 8),
         encode_kwargs.get("salt_col"),
     )
     manifest = (

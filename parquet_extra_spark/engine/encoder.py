@@ -623,6 +623,15 @@ def encode(
         n_salts,
         s_of[salt_col] if salt_col else None,
     )
+    if assume_clustered:
+        # Salting exists to spread one hot key across the EXCHANGE's
+        # reducers; with no exchange rows are already placed, so a
+        # per-row salt would only splinter each task's unit buffers
+        # into n_salts-way-smaller chunks (measured 90x chunk-count
+        # blowup on a hash-bucketed source) — skew handling on this
+        # lane belongs to the source layout (file rolling / range
+        # distribution), where real partitioned tables already do it.
+        salt_expr = F.lit(0).cast("int")
     work = work0.withColumn(_BUCKET, bucket_expr).withColumn(_SALT, salt_expr)
     if assume_clustered:
         # falsy num_partitions (None or the CLI's 0 = auto sentinel) is
